@@ -1,0 +1,412 @@
+"""S5 — deterministic concept/subsumption hierarchy (the signature output).
+
+The reference builds its tree with sequential hill-climbing Cobweb
+(`algos/Cobweb.java:23-64`), which is order-dependent (it shuffles input,
+`algos/PropertyGraphCobweb.java:315,347`) and single-threaded by its own
+account (`doc/thesis/05-evaluation.tex:249`). Per SURVEY §7 this engine
+keeps the reference's *concept model* — per-concept attribute/value
+histograms with counts (`algos/ConceptNode.java:26-57`), one Gaussian per
+numeric attribute merged Chan-style (`algos/NumericValue.java:56-70`), the
+EAP with the 1/(7·(1+σ)) numeric rule and σ=0→0
+(`algos/ConceptNode.java:214-242`), Fisher'87 CU
+(`algos/Cobweb.java:259-272`), path labels (`util/TreeUtils.java:82-90`),
+cutoff levels log2(depth)+1 (`util/MathUtils.java:20-25`) and all output
+invariants (`PropertyGraphCobwebProcTest.java:122-199`) — while constructing
+the hierarchy deterministically, FCA-style:
+
+    concept  = distinct intent (e.g. characteristic set, F3)
+    extent   = instances grouped under subset-subsumed intents
+    parent   = most specific proper subsumer (ties → smallest id)
+    root     = the empty intent ⊤
+
+Instances attach only to LEAVES; a concept holding both exact-intent
+instances and children gets a synthetic residual child leaf — the analogue
+of Cobweb's "leaves stay leaves" intermediate-parent insertion
+(`algos/Cobweb.java:113-160`).
+
+Scale notes: #concepts = #distinct intents ≪ #instances. Subsumption
+candidates are generated through each intent's globally RAREST item (not
+all items), so hub items (head-entity skew) never drive the self-join
+fan-out; verification is a codegen'd array_except. The per-level loops are
+driver-driven but bounded by tree depth (≤ max intent size + 1), each
+iteration localCheckpoint'ed to keep lineage O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+RESIDUAL_SUFFIX = "\x1e*"
+ROOT_ID = ""  # the empty intent
+
+
+def _canonical_intents(instances: DataFrame) -> DataFrame:
+    """(instance_id, intent sorted-distinct, cid)"""
+    return instances.select(
+        "instance_id",
+        F.array_sort(F.array_distinct("intent")).alias("intent"),
+    ).withColumn("cid", F.concat_ws(SEP, "intent"))
+
+
+def subsumption_pairs(intents: DataFrame) -> DataFrame:
+    """intents(cid, intent, size) → (desc_cid, anc_cid, anc_size).
+
+    anc ⊂ desc (proper). Candidates join on the ancestor's globally rarest
+    item — each ancestor probes the index exactly once per occurrence of its
+    rarest item, which bounds fan-out by the rarest-item frequency.
+    """
+    nonempty = intents.where(F.col("size") > 0)
+    items = nonempty.select(
+        "cid", "intent", "size", F.explode("intent").alias("item")
+    )
+    freq = items.groupBy("item").agg(F.count("*").alias("item_freq"))
+    w = Window.partitionBy("cid").orderBy(F.asc("item_freq"), F.asc("item"))
+    rare = (
+        items.join(F.broadcast(freq), "item")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cid").alias("anc_cid"),
+            F.col("intent").alias("anc_intent"),
+            F.col("size").alias("anc_size"),
+            F.col("item").alias("rare_item"),
+        )
+    )
+    desc_items = items.select(
+        F.col("cid").alias("desc_cid"),
+        F.col("intent").alias("desc_intent"),
+        F.col("size").alias("desc_size"),
+        F.col("item").alias("rare_item"),
+    )
+    return (
+        rare.join(desc_items, "rare_item")
+        .where(F.col("anc_size") < F.col("desc_size"))
+        .where(F.size(F.array_except("anc_intent", "desc_intent")) == 0)
+        .select("desc_cid", "anc_cid", "anc_size")
+    )
+
+
+def build_hierarchy(instances: DataFrame, root_seed: str = "c",
+                    max_depth: int = 64) -> dict[str, DataFrame]:
+    """instances(instance_id, intent ARRAY<STRING>) → hierarchy tables.
+
+    Returns dict with:
+      concepts(concept_id, parent_id, depth, label, count, intent, is_leaf)
+      assignments(instance_id, concept_id)   # leaf concepts only
+      closure(desc, anc)                     # reflexive-transitive
+    """
+    inst = _canonical_intents(instances)
+    exact = inst.groupBy("cid", "intent").agg(F.count("*").alias("n_exact"))
+    exact = exact.withColumn("size", F.size("intent")).localCheckpoint(eager=True)
+
+    intents = exact.select("cid", "intent", "size", "n_exact")
+    has_root = intents.where(F.col("cid") == ROOT_ID).limit(1).count() > 0
+    if not has_root:
+        spark = instances.sparkSession
+        root_row = spark.createDataFrame(
+            [(ROOT_ID, [], 0, 0)], "cid string, intent array<string>, size int, n_exact long"
+        )
+        intents = intents.unionByName(root_row)
+
+    pairs = subsumption_pairs(intents)
+    w = Window.partitionBy("desc_cid").orderBy(F.desc("anc_size"), F.asc("anc_cid"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("desc_cid").alias("cid"), F.col("anc_cid").alias("parent_id"))
+    )
+    parents = (
+        intents.join(best, "cid", "left")
+        .select(
+            "cid",
+            "intent",
+            "n_exact",
+            F.when(F.col("cid") == ROOT_ID, F.lit(None).cast("string"))
+            .otherwise(F.coalesce("parent_id", F.lit(ROOT_ID)))
+            .alias("parent_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # residual leaves: concept has children AND exact-intent instances
+    inner_ids = parents.where(F.col("parent_id").isNotNull()).select(
+        F.col("parent_id").alias("cid")
+    ).distinct()
+    needs_residual = parents.join(inner_ids, "cid").where(F.col("n_exact") > 0)
+    residuals = needs_residual.select(
+        F.concat(F.col("cid"), F.lit(RESIDUAL_SUFFIX)).alias("cid"),
+        F.col("intent"),
+        F.col("n_exact"),
+        F.col("cid").alias("parent_id"),
+    )
+    parents = (
+        parents.join(inner_ids.withColumn("_inner", F.lit(True)), "cid", "left")
+        .select(
+            "cid",
+            "intent",
+            F.when(F.col("_inner") & (F.col("n_exact") > 0), F.lit(0))
+            .otherwise(F.col("n_exact"))
+            .alias("n_exact"),
+            "parent_id",
+        )
+        .unionByName(residuals)
+        .localCheckpoint(eager=True)
+    )
+
+    # assignments: instance → exact-intent concept, remapped to residual leaf
+    res_map = residuals.select(
+        F.col("parent_id").alias("cid"), F.col("cid").alias("res_cid")
+    )
+    assignments = (
+        inst.join(res_map, "cid", "left")
+        .select(
+            "instance_id", F.coalesce("res_cid", "cid").alias("concept_id")
+        )
+    )
+
+    # depth / path labels / ancestor paths in one level-by-level sweep (T3)
+    spark = instances.sparkSession
+    frontier = (
+        parents.where(F.col("parent_id").isNull())
+        .select(
+            "cid",
+            F.lit(0).alias("depth"),
+            F.lit(root_seed).alias("label"),
+            F.array().cast("array<string>").alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    child_rank_w = Window.partitionBy("parent_id").orderBy("cid")
+    for _ in range(max_depth):
+        kids = (
+            parents.join(
+                frontier.select(
+                    F.col("cid").alias("parent_id"),
+                    F.col("depth").alias("p_depth"),
+                    F.col("label").alias("p_label"),
+                    F.col("path").alias("p_path"),
+                ),
+                "parent_id",
+            )
+            .withColumn("rank", F.row_number().over(child_rank_w) - 1)
+            .select(
+                "cid",
+                (F.col("p_depth") + 1).alias("depth"),
+                F.concat(F.col("p_label"), F.col("rank").cast("string")).alias("label"),
+                F.concat(F.col("p_path"), F.array(F.col("parent_id"))).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if kids.limit(1).count() == 0:
+            break
+        levels.append(kids)
+        frontier = kids
+
+    labeled = levels[0]
+    for lv in levels[1:]:
+        labeled = labeled.unionByName(lv)
+    labeled = labeled.localCheckpoint(eager=True)
+
+    closure = labeled.select(
+        F.col("cid").alias("desc"), F.col("cid").alias("anc")
+    ).union(
+        labeled.select(F.col("cid").alias("desc"), F.explode("path").alias("anc"))
+    )
+
+    # subtree counts: leaf exact counts rolled up through the closure
+    leaf_counts = parents.where(F.col("n_exact") > 0).select(
+        F.col("cid").alias("desc"), "n_exact"
+    )
+    counts = (
+        closure.join(leaf_counts, "desc")
+        .groupBy(F.col("anc").alias("cid"))
+        .agg(F.sum("n_exact").alias("count"))
+    )
+
+    has_kids = parents.where(F.col("parent_id").isNotNull()).select(
+        F.col("parent_id").alias("cid")
+    ).distinct().withColumn("_haskids", F.lit(True))
+
+    concepts = (
+        labeled.join(parents.select("cid", "intent", "parent_id"), "cid")
+        .join(counts, "cid", "left")
+        .join(has_kids, "cid", "left")
+        .select(
+            F.col("cid").alias("concept_id"),
+            "parent_id",
+            "depth",
+            "label",
+            F.coalesce("count", F.lit(0)).alias("count"),
+            "intent",
+            F.coalesce(~F.col("_haskids"), F.lit(True)).alias("is_leaf"),
+        )
+    )
+    return {"concepts": concepts, "assignments": assignments, "closure": closure}
+
+
+# ---------------------------------------------------------------------------
+# probabilistic concept descriptions: histograms, EAP (O7), CU (O6)
+# ---------------------------------------------------------------------------
+
+
+def concept_stats(attrs: DataFrame, assignments: DataFrame,
+                  closure: DataFrame) -> DataFrame:
+    """Long-form per-concept attribute histograms / Gaussians.
+
+    attrs(instance_id, attr, kind, nom_value, num_value) joined through
+    assignments and the closure — the distributed analogue of updateCounts
+    (`algos/ConceptNode.java:159-207`): merging histograms up the tree IS
+    Spark's partial+final hash aggregation; the Gaussian merge is Catalyst's
+    CentralMomentAgg (same Chan formula as `algos/NumericValue.java:56-70`,
+    population std per its sqrt(m2/totalCount)).
+
+    Returns (concept_id, attr, kind, nom_value, cnt, num_count, num_mean,
+    num_std).
+    """
+    routed = attrs.join(assignments, "instance_id").join(
+        closure, F.col("concept_id") == F.col("desc")
+    ).select(F.col("anc").alias("cid"), "attr", "kind", "nom_value", "num_value")
+    noms = (
+        routed.where(F.col("kind") == "nom")
+        .groupBy("cid", "attr", "nom_value")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cid", "attr", F.lit("nom").alias("kind"), "nom_value", "cnt",
+            F.lit(None).cast("long").alias("num_count"),
+            F.lit(None).cast("double").alias("num_mean"),
+            F.lit(None).cast("double").alias("num_std"),
+        )
+    )
+    nums = (
+        routed.where(F.col("kind") == "num")
+        .groupBy("cid", "attr")
+        .agg(
+            F.count("num_value").alias("num_count"),
+            F.avg("num_value").alias("num_mean"),
+            F.stddev_pop("num_value").alias("num_std"),
+        )
+        .select(
+            "cid", "attr", F.lit("num").alias("kind"),
+            F.lit(None).cast("string").alias("nom_value"),
+            F.lit(None).cast("long").alias("cnt"),
+            "num_count", "num_mean", "num_std",
+        )
+    )
+    return noms.unionByName(nums).withColumnRenamed("cid", "concept_id")
+
+
+def expected_attribute_prediction(stats: DataFrame, counts: DataFrame) -> DataFrame:
+    """O7 — EAP per concept (`algos/ConceptNode.java:214-242`).
+
+    nominal value: (cnt/total)²  summed over values
+    numeric attr:  0 if σ=0 else 1/(7·(1+σ))   (7 = 4√π folded in,
+                   `ConceptNode.java:231-233`)
+    normalized by the number of attributes; 0 attributes → EAP 0.
+
+    counts: (concept_id, count) — the concept's instance count (= the
+    reference's ConceptNode.count, the EAP denominator `total`).
+    """
+    contrib = (
+        stats.join(counts, "concept_id")
+        .withColumn(
+            "c",
+            F.when(
+                F.col("kind") == "nom",
+                F.pow(F.col("cnt") / F.col("count"), F.lit(2.0)),
+            ).otherwise(
+                F.when(
+                    F.coalesce(F.col("num_std"), F.lit(0.0)) == 0.0, F.lit(0.0)
+                ).otherwise(1.0 / (7.0 * (1.0 + F.col("num_std"))))
+            ),
+        )
+    )
+    return contrib.groupBy("concept_id").agg(
+        (F.sum("c") / F.countDistinct("attr")).alias("eap")
+    )
+
+
+def category_utility(concepts: DataFrame, eap: DataFrame) -> DataFrame:
+    """O6 — Fisher'87 CU per parent (`algos/Cobweb.java:259-272`):
+
+        CU(p) = Σ_k  count(C_k)/count(p) · (EAP(C_k) − EAP(p))  / |children|
+    """
+    child = (
+        concepts.where(F.col("parent_id").isNotNull())
+        .select("concept_id", "parent_id", F.col("count").alias("c_count"))
+        .join(eap, "concept_id")
+        .withColumnRenamed("eap", "c_eap")
+    )
+    parent = concepts.select(
+        F.col("concept_id").alias("parent_id"), F.col("count").alias("p_count")
+    ).join(
+        eap.select(F.col("concept_id").alias("parent_id"), F.col("eap").alias("p_eap")),
+        "parent_id",
+    )
+    return (
+        child.join(parent, "parent_id")
+        .groupBy(F.col("parent_id").alias("concept_id"))
+        .agg(
+            (
+                F.sum(F.col("c_count") / F.col("p_count") * (F.col("c_eap") - F.col("p_eap")))
+                / F.count("*")
+            ).alias("cu")
+        )
+    )
+
+
+def cutoff_level(concepts: DataFrame) -> int:
+    """log2(deepest)+1 with the reference's integer log2 (T7:
+    `util/MathUtils.java:20-25`, −1 at 0)."""
+    deepest = concepts.agg(F.max("depth")).first()[0] or 0
+    return (deepest.bit_length() - 1 if deepest > 0 else -1) + 1
+
+
+def cutoff_labels(concepts: DataFrame, level: int) -> DataFrame:
+    """T4 getCutoffLabel — label prefix of `level` characters
+    (`algos/ConceptNode.java:361-366`)."""
+    return concepts.select(
+        "concept_id",
+        F.when(F.length("label") < level, F.col("label"))
+        .otherwise(F.substring("label", 1, level))
+        .alias("cutoff_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# output invariants (PropertyGraphCobwebProcTest.java:122-199)
+# ---------------------------------------------------------------------------
+
+
+def invariant_violations(concepts: DataFrame, assignments: DataFrame) -> dict[str, int]:
+    """Returns violation counts; all must be 0 (see tests)."""
+    leaves = concepts.where(F.col("is_leaf"))
+    out: dict[str, int] = {}
+    # checkIds L142-151: no instance assigned twice
+    out["dup_instance"] = (
+        assignments.groupBy("instance_id").count().where(F.col("count") > 1).count()
+    )
+    # checkLeafType L158-167: assignments reference leaves only
+    out["assign_to_inner"] = (
+        assignments.join(
+            concepts.where(~F.col("is_leaf")).select(F.col("concept_id")), "concept_id"
+        ).count()
+    )
+    # checkParent L174-181
+    out["orphans"] = concepts.where(
+        F.col("parent_id").isNull() & (F.col("depth") != 0)
+    ).count()
+    # checkPartitionCounts L188-199: parent count == Σ child counts
+    child_sums = (
+        concepts.where(F.col("parent_id").isNotNull())
+        .groupBy(F.col("parent_id").alias("concept_id"))
+        .agg(F.sum("count").alias("child_sum"))
+    )
+    out["partition_counts"] = (
+        concepts.join(child_sums, "concept_id")
+        .where(F.col("count") != F.col("child_sum"))
+        .count()
+    )
+    return out

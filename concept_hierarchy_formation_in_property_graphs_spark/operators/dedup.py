@@ -1,0 +1,146 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact (hash-groupBy), MinHash signatures + LSH banding (scale path),
+SimHash, and exact n-gram Jaccard pairs (the small-scale gold standard the
+LSH path is validated against). All hash math uses the portable md5 family
+(functions/hashing.py) so every sketch is reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, perm_coeffs, permuted
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, keep_id, n_dups).
+
+    One map-side-combinable groupBy on md5(text) — the canonical
+    keep-smallest-id policy makes the result deterministic.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents minus exact duplicates (keep the smallest doc_id)."""
+    keep = (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return docs.join(keep.select("doc_id"), "doc_id")
+
+
+def word_tokens(col) -> F.Column:
+    return F.split(col, " ")
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       num_perm: int = 8) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) over distinct word tokens.
+
+    Wide-column output (not array) so the DuckDB oracle can reproduce each
+    value independently; explode → min-agg is one shuffle with map-side
+    partial mins.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok")))
+    aggs = [
+        F.min(permuted(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
+                           num_perm: int = 16, bands: int = 8,
+                           threshold: float = 0.7) -> DataFrame:
+    """Scale path: LSH banding → candidate pairs → exact Jaccard verify.
+
+    The band join key (band_idx, band_hash) is high-cardinality; hot buckets
+    (boilerplate-heavy corpora) are split by AQE skew-join.
+    """
+    sigs = minhash_signatures(docs, text_col, num_perm)
+    rows_per_band = num_perm // bands
+    sig_arr = sigs.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("sig")
+    )
+    banded = sig_arr.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                for i in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(word_tokens(F.col(text_col))).alias("toks")
+    )
+    return (
+        cand.join(toksets.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("t_a")), "id_a")
+        .join(toksets.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("t_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("t_a", "t_b")))
+        .withColumn("uni", F.size(F.array_union("t_a", "t_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash BIGINT): sign-aggregated token hash bits.
+
+    Pure conditional sums — whole-stage codegen, no UDF; identical SQL runs
+    in DuckDB.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def exact_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        threshold: float = 0.5, max_id: int | None = None) -> DataFrame:
+    """All-pairs exact word-set Jaccard (gold standard; quadratic — gate
+    with max_id at test scale; the LSH path is the production variant)."""
+    d = docs if max_id is None else docs.where(F.col("doc_id") < max_id)
+    toksets = d.select("doc_id", F.array_distinct(word_tokens(F.col(text_col))).alias("toks"))
+    a = toksets.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = toksets.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("t_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", F.size(F.array_intersect("t_a", "t_b")))
+        .withColumn("uni", F.size(F.array_union("t_a", "t_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,169 @@
+"""S3 — entity linking + surface-form canonicalization.
+
+Stages (per BASELINE.json north_star):
+  1. exact gazetteer link (broadcast dimension join),
+  2. MinHash-LSH blocking over character-3-gram shingles for residual
+     surfaces — candidate pairs only form inside an LSH band bucket, so the
+     all-pairs O(n²) never materializes,
+  3. pairwise Jaccard verification on the blocked candidates,
+  4. iterative connected components (small-star min-propagation, driver
+     loop, localCheckpoint per iteration to cut lineage) → canonical id =
+     lexicographically smallest member of each component.
+
+Everything is DataFrame ops + the portable md5 hash family
+(functions/hashing.py); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, perm_coeffs, permuted
+
+
+def link_exact(surfaces: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """surfaces(surface) ⋈ gazetteer(surface, canonical) — broadcast."""
+    return surfaces.join(F.broadcast(gazetteer), "surface", "left")
+
+
+def char_shingles(col, n: int = 3):
+    """Distinct character n-grams of lower(trimmed string) — pure SQL:
+    sequence over offsets + transform + array_distinct (codegen'd)."""
+    s = F.lower(F.trim(col))
+    cnt = F.greatest(F.length(s) - (n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), cnt), lambda i: s.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(df: DataFrame, text_col: str, out_col: str = "sig",
+                      num_perm: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Attach an array<long> MinHash signature over char shingles."""
+    exploded = (
+        df.select(text_col)
+        .distinct()
+        .withColumn("gram", F.explode(char_shingles(F.col(text_col), shingle_n)))
+        .withColumn("h", md5_long(F.col("gram")))
+    )
+    aggs = [
+        F.min(permuted(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    ]
+    sigs = exploded.groupBy(text_col).agg(*aggs).select(
+        text_col, F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias(out_col)
+    )
+    return df.join(sigs, text_col, "left")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "sig",
+                        num_perm: int = 16, bands: int = 4) -> DataFrame:
+    """Band the signature; ids sharing a band bucket become candidate pairs.
+
+    The self-join runs on (band_idx, band_hash) — high-cardinality keys, so
+    it hash-partitions evenly; AQE skew-join splits any hot bucket (a giant
+    cluster of near-identical strings is the skew case here).
+    """
+    rows_per_band = num_perm // bands
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band))
+                for i in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, df: DataFrame, id_col: str, text_col: str,
+                   threshold: float = 0.6, shingle_n: int = 3) -> DataFrame:
+    """Exact char-shingle Jaccard on candidate pairs; keep >= threshold."""
+    sh = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("grams")
+    )
+    a = sh.select(F.col(id_col).alias("src"), F.col("grams").alias("g_src"))
+    b = sh.select(F.col(id_col).alias("dst"), F.col("grams").alias("g_dst"))
+    return (
+        pairs.join(a, "src").join(b, "dst")
+        .withColumn("inter", F.size(F.array_intersect("g_src", "g_dst")))
+        .withColumn("uni", F.size(F.array_union("g_src", "g_dst")))
+        .where(F.col("uni") > 0)
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def connected_components(edges: DataFrame, spark: SparkSession | None = None,
+                         max_iter: int = 25) -> DataFrame:
+    """Min-label propagation CC over edges(src, dst) → (id, component).
+
+    Driver-side loop (the reference's only iteration is also driver-side);
+    each round is one shuffle; ``localCheckpoint`` truncates lineage so plan
+    size stays O(1) across iterations — the standard Spark pattern for
+    iterative graph algorithms without GraphX.
+    """
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .union(sym.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate = min(own, min over neighbours' labels)
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_surfaces(surfaces: DataFrame, threshold: float = 0.6,
+                          num_perm: int = 16, bands: int = 4) -> DataFrame:
+    """surfaces(surface) → (surface, canonical) via LSH + CC.
+
+    canonical = lexicographically smallest surface in each component
+    (deterministic, order-free — a correctness upgrade over the reference's
+    shuffled insertion order, documented divergence per SURVEY §2.1 O1).
+    """
+    uniq = surfaces.select("surface").distinct()
+    with_sig = minhash_signature(uniq, "surface", num_perm=num_perm)
+    pairs = lsh_candidate_pairs(with_sig, "surface", num_perm=num_perm, bands=bands)
+    verified = jaccard_verify(pairs, uniq, "surface", "surface", threshold)
+    comps = connected_components(verified.select("src", "dst"))
+    # component label is the min surface string already (labels are surfaces)
+    linked = comps.select(F.col("id").alias("surface"), F.col("component").alias("canonical"))
+    return (
+        uniq.join(linked, "surface", "left")
+        .select("surface", F.coalesce("canonical", "surface").alias("canonical"))
+    )

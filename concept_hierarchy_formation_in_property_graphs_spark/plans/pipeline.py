@@ -1,0 +1,130 @@
+"""End-to-end KG-construction pipeline (BASELINE.json north_star):
+
+  pages ─S1→ text ─S2→ mention pairs ─S3→ links ─S4→ triples + graph
+        ─S5→ features/intents ─S6→ concept hierarchy
+
+Every stage checkpoints through :class:`StageRunner` so a killed job
+resumes from the last complete snapshot. The returned dict carries each
+stage's DataFrame plus the stage metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures.pages import RELATION_PATTERNS, make_gazetteer
+from ..functions.mentions import extract_mention_pairs
+from ..functions.text import with_extracted_text
+from ..operators.concepts import build_hierarchy
+from ..operators.features import characteristic_sets, structural_features
+from ..operators.graph import graph_from_triples
+from ..operators.triples import triples_from_mention_pairs
+from .checkpoint import StageRunner
+
+
+def gazetteer_df(spark: SparkSession, n_entities: int = 500) -> DataFrame:
+    """Surface→canonical link dimension from the closed gazetteer."""
+    rows = []
+    for e in make_gazetteer(n_entities):
+        for s in e.surfaces:
+            rows.append((s, e.canonical, e.kind, e.entity_id))
+    return spark.createDataFrame(
+        rows, "surface string, canonical string, kind string, entity_id long"
+    )
+
+
+def phrase_map() -> dict[str, str]:
+    return {phrase: pred for _, phrase, _, pred in RELATION_PATTERNS}
+
+
+def all_surfaces(n_entities: int = 500) -> tuple[str, ...]:
+    out: list[str] = []
+    for e in make_gazetteer(n_entities):
+        out.extend(e.surfaces)
+    return tuple(out)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    n_entities: int = 500,
+    lang: str = "en",
+) -> dict:
+    """Run (or resume) the full pipeline; returns stage DataFrames."""
+    runner = StageRunner(spark, workdir)
+
+    # S1 — boilerplate-stripped text (vectorized pandas UDF; filter first so
+    # non-target languages never cross the Arrow boundary)
+    s1 = runner.stage(
+        "s1_text",
+        lambda: with_extracted_text(pages.where(F.col("lang") == lang)).select(
+            "url", "text"
+        ),
+    )
+
+    # S2 — gazetteer mention detection + relation patterns
+    s2 = runner.stage(
+        "s2_mentions",
+        lambda: extract_mention_pairs(s1, all_surfaces(n_entities), phrase_map()),
+    )
+
+    # S3 — linking: exact gazetteer dimension join (broadcast). The
+    # LSH+CC canonicalizer (operators/linking.py) covers open-vocabulary
+    # surfaces; with a closed gazetteer the exact join is the whole story.
+    links = gazetteer_df(spark, n_entities).select("surface", "canonical")
+    s3 = runner.stage(
+        "s3_triples", lambda: triples_from_mention_pairs(s2, links)
+    )
+
+    # S4 — property-graph materialization + features
+    nodes, edges = graph_from_triples(s3)
+    s4_nodes = runner.stage("s4_nodes", lambda: nodes)
+    s4_edges = runner.stage("s4_edges", lambda: edges)
+
+    s5_struct = runner.stage(
+        "s5_struct_features", lambda: structural_features(s4_nodes, s4_edges)
+    )
+    s5_intents = runner.stage(
+        "s5_char_sets", lambda: characteristic_sets(s4_nodes, s4_edges)
+    )
+
+    # S6 — concept hierarchy over characteristic-set intents (F3 is the
+    # natural FCA intent per SURVEY §2.2)
+    def build_s6() -> DataFrame:
+        h = build_hierarchy(
+            s5_intents.select(
+                F.col("id").alias("instance_id"), F.col("rel_types").alias("intent")
+            )
+        )
+        return h["concepts"].select(
+            "concept_id", "parent_id", "depth", "label", "count",
+            F.col("intent"), "is_leaf",
+        )
+
+    s6_concepts = runner.stage("s6_concepts", build_s6)
+
+    def build_s6_assign() -> DataFrame:
+        h = build_hierarchy(
+            s5_intents.select(
+                F.col("id").alias("instance_id"), F.col("rel_types").alias("intent")
+            )
+        )
+        return h["assignments"]
+
+    s6_assign = runner.stage("s6_assignments", build_s6_assign)
+
+    runner.write_run_metrics()
+    return {
+        "text": s1,
+        "mention_pairs": s2,
+        "triples": s3,
+        "nodes": s4_nodes,
+        "edges": s4_edges,
+        "struct_features": s5_struct,
+        "intents": s5_intents,
+        "concepts": s6_concepts,
+        "assignments": s6_assign,
+        "metrics": runner.metrics,
+    }
