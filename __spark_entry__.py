@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The real implementations live in
+``concept_hierarchy_formation_in_property_graphs_spark.queries``.
 """
 
 from __future__ import annotations
@@ -13,26 +15,41 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from concept_hierarchy_formation_in_property_graphs_spark import queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the property graph from the sf0.001 tables, extract
+    characteristic-set intents and build the labeled concept/subsumption
+    hierarchy (the reference's signature output)."""
+    from pyspark.sql import functions as F
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
+        build_hierarchy,
+    )
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.features import (
+        characteristic_sets,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = _q.tpch_edges(spark, sf_dir)
+    nodes = _q._graph_nodes(edges)
+    cs = characteristic_sets(nodes, edges)
+    h = build_hierarchy(
+        cs.select(F.col("id").alias("instance_id"), F.col("rel_types").alias("intent"))
+    )
+    return h["concepts"].select(
+        "concept_id", "parent_id", "depth", "label", "count", "is_leaf"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data-pipeline operators: dedup, similarity, text analysis)."""
+    return _q.registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query; the pandas-UDF /
+    iterative pipeline stages (pl_*) are rows-only by design."""
+    return _q.oracles()

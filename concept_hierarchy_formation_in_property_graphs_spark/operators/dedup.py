@@ -70,14 +70,21 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     """
     sigs = minhash_signatures(docs, text_col, num_perm)
     rows_per_band = num_perm // bands
-    sig_arr = sigs.select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("sig")
-    )
-    banded = sig_arr.select(
+    # band hash = md5 over the '|'-joined band slice — portable to the
+    # DuckDB oracle (same string, same md5), unlike xxhash64
+    banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(*[
-                F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{i * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                )
                 for i in range(bands)
             ])
         ).alias("band_idx", "band_hash"),

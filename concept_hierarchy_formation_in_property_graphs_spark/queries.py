@@ -1,0 +1,1026 @@
+"""Driver-contract query registry: Spark query + DuckDB oracle twins.
+
+Every implemented operator from SURVEY.md §2 gets an entry here: a callable
+``(spark, sf_dir) -> DataFrame`` and (where SQL-expressible) an ANSI-SQL
+oracle string DuckDB runs on the same parquet tables. Column names/types are
+aligned so the driver's order-insensitive value-hash compare passes.
+
+The KG-family queries derive a property graph from the TPC-H-ish tables
+(record→typed-edges, the graft of the reference's Yelp importer
+`src/main/cypher/load_yelp.cql:1-111`):
+
+    cust:<k>  IN_NATION    nat:<k>      (customer)
+    supp:<k>  IN_NATION    nat:<k>      (supplier)
+    ord:<k>   PLACED_BY    cust:<k>     (orders)
+    ord:<k>   CONTAINS     part:<k>     (lineitem)
+    part:<k>  SUPPLIED_BY  supp:<k>     (lineitem)
+
+Nation nodes are hubs (head-entity skew by construction), so the degree /
+closure joins exercise exactly the skew path the north rule calls out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_long, md5_long_sql, perm_coeffs, permuted_sql
+from .operators.concepts import (
+    category_utility,
+    concept_stats,
+    expected_attribute_prediction,
+    subsumption_pairs,
+)
+from .operators.dedup import (
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    simhash,
+)
+from .operators.features import characteristic_sets, degrees, structural_features
+from .operators.similarity import cosine_topk_bruteforce, lsh_bucketed_ann
+from .operators.textstats import (
+    EN_STOPWORDS,
+    fingerprints,
+    language_id,
+    quality_scores,
+    stopword_stats,
+    token_counts,
+)
+from .operators.topk import top_k_per_group
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# shared: the derived property graph (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+
+def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edges(src, rel_type, dst) — record→typed-edges over TPC-H tables."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def node(prefix: str, col) -> F.Column:
+        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+
+    parts = [
+        cust.select(node("cust", "c_custkey").alias("src"),
+                    F.lit("IN_NATION").alias("rel_type"),
+                    node("nat", "c_nationkey").alias("dst")),
+        supp.select(node("supp", "s_suppkey").alias("src"),
+                    F.lit("IN_NATION").alias("rel_type"),
+                    node("nat", "s_nationkey").alias("dst")),
+        orders.select(node("ord", "o_orderkey").alias("src"),
+                      F.lit("PLACED_BY").alias("rel_type"),
+                      node("cust", "o_custkey").alias("dst")),
+        li.select(node("ord", "l_orderkey").alias("src"),
+                  F.lit("CONTAINS").alias("rel_type"),
+                  node("part", "l_partkey").alias("dst")),
+        li.select(node("part", "l_partkey").alias("src"),
+                  F.lit("SUPPLIED_BY").alias("rel_type"),
+                  node("supp", "l_suppkey").alias("dst")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_EDGES_SQL = """
+edges AS (
+  SELECT 'cust:' || c_custkey AS src, 'IN_NATION' AS rel_type,
+         'nat:' || c_nationkey AS dst FROM customer
+  UNION ALL
+  SELECT 'supp:' || s_suppkey, 'IN_NATION', 'nat:' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'ord:' || o_orderkey, 'PLACED_BY', 'cust:' || o_custkey FROM orders
+  UNION ALL
+  SELECT 'ord:' || l_orderkey, 'CONTAINS', 'part:' || l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'part:' || l_partkey, 'SUPPLIED_BY', 'supp:' || l_suppkey FROM lineitem
+)"""
+
+_DEGS_SQL = """
+outd AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY 1),
+ind  AS (SELECT dst AS id, count(*) AS in_deg  FROM edges GROUP BY 1),
+degs AS (
+  SELECT COALESCE(o.id, i.id) AS id,
+         COALESCE(out_deg, 0) AS out_deg,
+         COALESCE(in_deg, 0) AS in_deg,
+         COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS deg
+  FROM outd o FULL OUTER JOIN ind i ON o.id = i.id
+)"""
+
+_CS_SQL = """
+inct AS (
+  SELECT src AS id, rel_type FROM edges
+  UNION ALL SELECT dst AS id, rel_type FROM edges
+),
+cs AS (
+  SELECT id,
+         array_to_string(list_sort(list_distinct(list(rel_type))), ',') AS cid
+  FROM inct GROUP BY id
+)"""
+
+
+def _graph_nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan / filter / agg / join / window / top-k)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 4)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped agg — partial+final hash aggregate, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "q_revenue_by_nation",
+    """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-join star query; nation/customer broadcast, lineitem streams."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q_top2_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 2
+""",
+)
+def q_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 findHost graft — best/second-best per group via window top-k
+    (`algos/Cobweb.java:73-104`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"], "o_totalprice", k=2, tiebreak_cols=["o_orderkey"],
+    )
+
+
+@_register(
+    "q_events_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum("value"), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (batch form; the streaming
+    twin is readStream + window(ts, '1 hour') with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@_register(
+    "q_deterministic_sample",
+    f"""
+SELECT doc_id FROM documents
+WHERE {md5_long_sql("text")} % 100 < 5
+""",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 sampling graft (`data_loader.py:19-27`) — hash-mod sampling is the
+    scalable deterministic replacement for reservoir sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.pmod(md5_long(F.col("text")), F.lit(100)) < 5).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# KG family: triples → graph → features → concepts (SURVEY §2.2/§2.1)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "kg_record_triples",
+    f"""
+WITH {_EDGES_SQL.strip()}
+SELECT DISTINCT src AS subj, rel_type AS pred, dst AS obj FROM edges
+""",
+)
+def kg_record_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 graft — record→typed-edges emission with MERGE-style dedup
+    (`src/main/cypher/load_yelp.cql:1-111`)."""
+    return (
+        tpch_edges(spark, sf_dir)
+        .select(F.col("src").alias("subj"), F.col("rel_type").alias("pred"),
+                F.col("dst").alias("obj"))
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+@_register(
+    "kg_degrees",
+    f"""
+WITH {_EDGES_SQL.strip()}, {_DEGS_SQL.strip()}
+SELECT id, out_deg, in_deg, deg FROM degs
+""",
+)
+def kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir)
+    return degrees(edges)
+
+
+@_register(
+    "kg_structural_features",
+    f"""
+WITH {_EDGES_SQL.strip()}, {_DEGS_SQL.strip()},
+inc AS (
+  SELECT src AS id, dst AS other FROM edges
+  UNION ALL SELECT dst AS id, src AS other FROM edges
+),
+nbr AS (
+  SELECT inc.id, sum(d.deg) AS tnd, sum(d.out_deg) AS tno, sum(d.in_deg) AS tni
+  FROM inc JOIN degs d ON inc.other = d.id GROUP BY inc.id
+)
+SELECT degs.id,
+       deg AS "EgoDegree",
+       CASE WHEN deg = 0 THEN 0
+            ELSE CAST(floor(COALESCE(tnd, 0) / deg) AS BIGINT)
+       END AS "AverageNeighbourDegree",
+       out_deg + COALESCE(tno, 0) AS "EgoNetOutgoingEdges",
+       in_deg + COALESCE(tni, 0) AS "EgoNetIncomingEdges"
+FROM degs LEFT JOIN nbr ON degs.id = nbr.id
+""",
+)
+def kg_structural_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 `extractStructuralFeatures` (`algos/PropertyGraphCobweb.java:394-431`)
+    — undirected incidence, integer-division AverageNeighbourDegree."""
+    edges = tpch_edges(spark, sf_dir)
+    return structural_features(_graph_nodes(edges), edges)
+
+
+@_register(
+    "kg_characteristic_sets",
+    f"""
+WITH {_EDGES_SQL.strip()}, {_CS_SQL.strip()}
+SELECT id, cid AS rel_types FROM cs
+""",
+)
+def kg_characteristic_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 `extractCharacteristicSet` (`algos/PropertyGraphCobweb.java:250-258`)
+    — the FCA intent column, canonicalized to a sorted joined string."""
+    edges = tpch_edges(spark, sf_dir)
+    return characteristic_sets(_graph_nodes(edges), edges).select(
+        "id", F.concat_ws(",", "rel_types").alias("rel_types")
+    )
+
+
+@_register(
+    "kg_concept_intents",
+    f"""
+WITH {_EDGES_SQL.strip()}, {_CS_SQL.strip()}
+SELECT cid,
+       CAST(length(cid) - length(replace(cid, ',', '')) + 1 AS INT) AS size,
+       count(*) AS n_exact
+FROM cs GROUP BY cid
+""",
+)
+def kg_concept_intents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept formation: one concept per distinct intent with its extent
+    size (the deterministic replacement for O1/O3, SURVEY §7)."""
+    edges = tpch_edges(spark, sf_dir)
+    cs = characteristic_sets(_graph_nodes(edges), edges)
+    return (
+        cs.select(F.concat_ws(",", "rel_types").alias("cid"), F.size("rel_types").alias("size"))
+        .groupBy("cid", "size")
+        .agg(F.count("*").alias("n_exact"))
+        .select("cid", "size", "n_exact")
+    )
+
+
+_PARENTS_SQL = f"""
+{_EDGES_SQL.strip()}, {_CS_SQL.strip()},
+intents AS (
+  SELECT string_split(cid, ',') AS intent, cid,
+         len(string_split(cid, ',')) AS isize, count(*) AS n_exact
+  FROM cs GROUP BY cid
+),
+subpairs AS (
+  SELECT d.cid AS desc_cid, a.cid AS anc_cid, a.isize AS anc_size
+  FROM intents d JOIN intents a
+    ON a.isize < d.isize AND list_has_all(d.intent, a.intent)
+),
+best AS (
+  SELECT desc_cid, anc_cid FROM (
+    SELECT desc_cid, anc_cid,
+           row_number() OVER (PARTITION BY desc_cid
+                              ORDER BY anc_size DESC, anc_cid ASC) AS rn
+    FROM subpairs
+  ) WHERE rn = 1
+),
+parents AS (
+  SELECT i.cid, COALESCE(b.anc_cid, '') AS parent_cid, i.n_exact
+  FROM intents i LEFT JOIN best b ON i.cid = b.desc_cid
+)"""
+
+
+@_register(
+    "kg_concept_parents",
+    f"""
+WITH {_PARENTS_SQL.strip()}
+SELECT cid, parent_cid FROM parents
+""",
+)
+def kg_concept_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsumption: parent = most specific proper subsumer (rarest-item
+    candidate join, `operators/concepts.subsumption_pairs`)."""
+    edges = tpch_edges(spark, sf_dir)
+    cs = characteristic_sets(_graph_nodes(edges), edges)
+    intents = (
+        cs.select(
+            F.array_sort("rel_types").alias("intent"),
+            F.concat_ws(",", F.array_sort("rel_types")).alias("cid"),
+        )
+        .groupBy("cid", "intent")
+        .agg(F.count("*").alias("n_exact"))
+        .withColumn("size", F.size("intent"))
+    )
+    pairs = subsumption_pairs(intents.select("cid", "intent", "size"))
+    w = Window.partitionBy("desc_cid").orderBy(F.desc("anc_size"), F.asc("anc_cid"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("desc_cid").alias("cid"), F.col("anc_cid").alias("parent_id"))
+    )
+    return intents.join(best, "cid", "left").select(
+        "cid", F.coalesce("parent_id", F.lit("")).alias("parent_cid")
+    )
+
+
+@_register(
+    "kg_concept_hierarchy",
+    f"""
+WITH RECURSIVE {_PARENTS_SQL.strip()},
+allnodes AS (
+  SELECT cid, parent_cid, n_exact FROM parents
+  UNION ALL SELECT '', NULL, 0
+),
+haskids AS (SELECT DISTINCT parent_cid AS cid FROM parents),
+residuals AS (
+  SELECT a.cid || ',*' AS cid, a.cid AS parent_cid, a.n_exact
+  FROM allnodes a JOIN haskids h ON a.cid = h.cid
+  WHERE a.n_exact > 0
+),
+tree0 AS (
+  SELECT a.cid, a.parent_cid,
+         CASE WHEN h.cid IS NOT NULL AND a.n_exact > 0 THEN 0
+              ELSE a.n_exact END AS n_exact,
+         h.cid IS NULL AS is_leaf
+  FROM allnodes a LEFT JOIN haskids h ON a.cid = h.cid
+  UNION ALL
+  SELECT cid, parent_cid, n_exact, TRUE FROM residuals
+),
+depths AS (
+  SELECT '' AS cid, 0 AS depth
+  UNION ALL
+  SELECT t.cid, d.depth + 1 FROM tree0 t JOIN depths d ON t.parent_cid = d.cid
+),
+closure AS (
+  SELECT cid AS "desc", cid AS anc FROM tree0
+  UNION ALL
+  SELECT c."desc", t.parent_cid
+  FROM closure c JOIN tree0 t ON c.anc = t.cid
+  WHERE t.parent_cid IS NOT NULL
+),
+counts AS (
+  SELECT c.anc AS cid, sum(t.n_exact) AS cnt
+  FROM closure c JOIN tree0 t ON c."desc" = t.cid
+  WHERE t.n_exact > 0
+  GROUP BY c.anc
+)
+SELECT t.cid, t.parent_cid, d.depth,
+       COALESCE(k.cnt, 0) AS count, t.is_leaf
+FROM tree0 t
+JOIN depths d ON t.cid = d.cid
+LEFT JOIN counts k ON t.cid = k.cid
+""",
+)
+def kg_concept_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature output — full concept/subsumption hierarchy over the
+    characteristic-set intents (SURVEY §7; invariants per
+    `PropertyGraphCobwebProcTest.java:122-199`). Path labels are exercised
+    by pytest; here cid is translated to a ','-joined form so the DuckDB
+    twin can recompute the whole tree relationally."""
+    from .operators.concepts import RESIDUAL_SUFFIX, SEP, build_hierarchy
+
+    edges = tpch_edges(spark, sf_dir)
+    cs = characteristic_sets(_graph_nodes(edges), edges)
+    h = build_hierarchy(
+        cs.select(F.col("id").alias("instance_id"), F.col("rel_types").alias("intent"))
+    )
+    c = h["concepts"]
+    tr = lambda col: F.replace(  # noqa: E731
+        F.replace(col, F.lit(SEP), F.lit(",")), F.lit(RESIDUAL_SUFFIX), F.lit(",*")
+    )
+    return c.select(
+        tr(F.col("concept_id")).alias("cid"),
+        tr(F.col("parent_id")).alias("parent_cid"),
+        "depth",
+        F.col("count"),
+        "is_leaf",
+    )
+
+
+def _node_attr_frames(spark: SparkSession, sf_dir: str):
+    """Shared prep for the EAP/CU queries: per-node (cid, kind, outdeg)."""
+    edges = tpch_edges(spark, sf_dir)
+    cs = characteristic_sets(_graph_nodes(edges), edges)
+    degs = degrees(edges)
+    inst = (
+        cs.select("id", F.concat_ws(",", "rel_types").alias("cid"))
+        .join(degs.select("id", "out_deg"), "id", "left")
+        .select(
+            "id", "cid",
+            F.split_part(F.col("id"), F.lit(":"), F.lit(1)).alias("kind"),
+            F.coalesce("out_deg", F.lit(0)).alias("outdeg"),
+        )
+    )
+    attrs = inst.select(
+        F.col("id").alias("instance_id"),
+        F.lit("NodeKind").alias("attr"),
+        F.lit("nom").alias("kind"),
+        F.col("kind").alias("nom_value"),
+        F.lit(None).cast("double").alias("num_value"),
+    ).unionByName(
+        inst.select(
+            F.col("id").alias("instance_id"),
+            F.lit("OutDeg").alias("attr"),
+            F.lit("num").alias("kind"),
+            F.lit(None).cast("string").alias("nom_value"),
+            F.col("outdeg").cast("double").alias("num_value"),
+        )
+    )
+    assignments = inst.select(F.col("id").alias("instance_id"), F.col("cid").alias("concept_id"))
+    return inst, attrs, assignments
+
+
+_EAP_PREP_SQL = f"""
+{_EDGES_SQL.strip()}, {_CS_SQL.strip()}, {_DEGS_SQL.strip()},
+inst AS (
+  SELECT cs.id, cs.cid, split_part(cs.id, ':', 1) AS kind,
+         CAST(COALESCE(d.out_deg, 0) AS DOUBLE) AS outdeg
+  FROM cs LEFT JOIN degs d ON cs.id = d.id
+),
+tot AS (SELECT cid, count(*) AS total FROM inst GROUP BY cid),
+nomv AS (SELECT cid, kind, count(*) AS cnt FROM inst GROUP BY cid, kind),
+noma AS (
+  SELECT n.cid,
+         sum((CAST(cnt AS DOUBLE) / total) * (CAST(cnt AS DOUBLE) / total)) AS nom_c
+  FROM nomv n JOIN tot t ON n.cid = t.cid GROUP BY n.cid
+),
+numa AS (
+  SELECT cid,
+         CASE WHEN COALESCE(stddev_pop(outdeg), 0) = 0 THEN 0
+              ELSE 1.0 / (7.0 * (1.0 + stddev_pop(outdeg))) END AS num_c
+  FROM inst GROUP BY cid
+),
+eap AS (
+  SELECT noma.cid, (nom_c + num_c) / 2 AS eap
+  FROM noma JOIN numa ON noma.cid = numa.cid
+)"""
+
+
+@_register(
+    "kg_eap",
+    f"""
+WITH {_EAP_PREP_SQL.strip()}
+SELECT cid, round(eap, 4) AS eap4 FROM eap
+""",
+)
+def kg_eap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 — expected attribute prediction per concept with the reference's
+    numeric rule 1/(7·(1+σ)), σ=0→0 (`algos/ConceptNode.java:214-242`).
+    Histogram routing through concept_stats is the distributed updateCounts
+    (`algos/ConceptNode.java:159-207`)."""
+    inst, attrs, assignments = _node_attr_frames(spark, sf_dir)
+    identity_closure = assignments.select(
+        F.col("concept_id").alias("desc"), F.col("concept_id").alias("anc")
+    ).distinct()
+    stats = concept_stats(attrs, assignments, identity_closure)
+    counts = assignments.groupBy("concept_id").agg(F.count("*").alias("count"))
+    eap = expected_attribute_prediction(stats, counts)
+    return eap.select(F.col("concept_id").alias("cid"), F.round("eap", 4).alias("eap4"))
+
+
+@_register(
+    "kg_category_utility",
+    f"""
+WITH {_EAP_PREP_SQL.strip()},
+roote AS (
+  SELECT (
+    (SELECT sum((CAST(cnt AS DOUBLE) / t.total) * (CAST(cnt AS DOUBLE) / t.total))
+     FROM (SELECT kind, count(*) AS cnt FROM inst GROUP BY kind),
+          (SELECT count(*) AS total FROM inst) t)
+    + (SELECT CASE WHEN COALESCE(stddev_pop(outdeg), 0) = 0 THEN 0
+                   ELSE 1.0 / (7.0 * (1.0 + stddev_pop(outdeg))) END FROM inst)
+  ) / 2 AS root_eap
+),
+n AS (SELECT count(*) AS total FROM inst)
+SELECT round(
+  sum((CAST(t.total AS DOUBLE) / n.total) * (e.eap - r.root_eap)) / count(*), 4
+) AS cu4
+FROM eap e JOIN tot t ON e.cid = t.cid, roote r, n
+""",
+)
+def kg_category_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — Fisher'87 category utility of the root partition
+    (`algos/Cobweb.java:260-273`), via the category_utility operator."""
+    inst, attrs, assignments = _node_attr_frames(spark, sf_dir)
+    # children = exact-intent concepts; root = '' holds every instance
+    root_assign = assignments.select("instance_id").withColumn("concept_id", F.lit(""))
+    all_assign = assignments.unionByName(root_assign)
+    identity_closure = all_assign.select(
+        F.col("concept_id").alias("desc"), F.col("concept_id").alias("anc")
+    ).distinct()
+    stats = concept_stats(attrs, all_assign, identity_closure)
+    counts = all_assign.groupBy("concept_id").agg(F.count("*").alias("count"))
+    eap = expected_attribute_prediction(stats, counts)
+    concepts = counts.select(
+        "concept_id",
+        F.when(F.col("concept_id") == "", F.lit(None).cast("string"))
+        .otherwise(F.lit("")).alias("parent_id"),
+        F.col("count"),
+    )
+    cu = category_utility(concepts, eap)
+    return cu.where(F.col("concept_id") == "").select(F.round("cu", 4).alias("cu4"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dd_exact_keep",
+    """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+)
+def dd_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — hash-groupBy with deterministic keep-smallest-id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _minhash_oracle_sql(num_perm: int) -> str:
+    h = md5_long_sql("tok")
+    cols = ",\n       ".join(
+        f"min({permuted_sql(h, a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       {cols}
+FROM toks GROUP BY doc_id
+"""
+
+
+@_register("dd_minhash_signatures", _minhash_oracle_sql(8))
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over distinct word tokens (portable md5 family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_perm=8)
+
+
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    h = md5_long_sql("tok")
+    bit_cols = ",\n       ".join(
+        f"sum(CASE WHEN (({h}) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    val = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+bitsums AS (
+  SELECT doc_id,
+       {bit_cols}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM bitsums
+"""
+
+
+@_register("dd_simhash", _simhash_oracle_sql(32))
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints — conditional bit sums, all codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=32)
+
+
+def _lsh_pairs_oracle_sql(num_perm: int = 16, bands: int = 8, threshold: float = 0.7) -> str:
+    rows = num_perm // bands
+    mh = _minhash_oracle_sql(num_perm).strip()
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {i} AS band_idx, md5({expr}) AS band_hash FROM sigs".format(
+            i=i,
+            expr=" || '|' || ".join(f"CAST(mh{i * rows + j} AS VARCHAR)" for j in range(rows)),
+        )
+        for i in range(bands)
+    )
+    return f"""
+WITH sigs AS ({mh}),
+banded AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+toksets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
+FROM cand
+JOIN toksets ta ON cand.id_a = ta.doc_id
+JOIN toksets tb ON cand.id_b = tb.doc_id
+WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(ta.toks, tb.toks))) >= {threshold}
+"""
+
+
+@_register("dd_lsh_near_dup_pairs", _lsh_pairs_oracle_sql())
+def dd_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding → candidate pairs → exact Jaccard verify (the
+    100 TB-scale near-dup path; the band join replaces all-pairs O(n²))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, num_perm=16, bands=8, threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis family (documents table)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tx_token_counts",
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_token_len4
+FROM documents
+""",
+)
+def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_counts(docs)
+    return tc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "avg_token_len4",
+    )
+
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+@_register(
+    "tx_stopword_stats",
+    f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            x -> list_contains({_STOPS_SQL}, x))) AS BIGINT) AS n_stop,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stop_ratio4
+FROM documents
+""",
+)
+def tx_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ss = stopword_stats(docs)
+    return ss.select("doc_id", F.col("n_stop").cast("long").alias("n_stop"), "stop_ratio4")
+
+
+@_register(
+    "tx_language_id",
+    f"""
+SELECT doc_id,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                      x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+""",
+)
+def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+@_register(
+    "tx_quality_scores",
+    f"""
+SELECT doc_id,
+       round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * least((CAST(len(list_filter(string_split(text, ' '),
+                                x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                          / len(string_split(text, ' '))) / 0.1, 1.0), 4) AS quality4
+FROM documents
+""",
+)
+def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_scores(docs)
+
+
+@_register(
+    "tx_fingerprints",
+    """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fingerprint
+FROM documents
+""",
+)
+def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# similarity family (embeddings table)
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@_register(
+    "sim_cosine_topk",
+    f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM base
+  WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS score
+  FROM base b CROSS JOIN queries q
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank, round(score, 4) AS score4
+FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline); JVM-side zip_with/
+    aggregate dot products, broadcast query dimension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, _ANN_QUERY_IDS, k=5)
+
+
+def _lsh_ann_oracle_sql(n_planes: int = 8, seed: int = 7, dim: int = 64, k: int = 5) -> str:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim).tolist()
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(emb, {arr}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, emb, nrm, {bucket} AS bucket FROM base
+),
+queries AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+  FROM bucketed WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS score
+  FROM bucketed b JOIN queries q ON b.bucket = q.q_bucket
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank, round(score, 4) AS score4
+FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_register("sim_lsh_ann", _lsh_ann_oracle_sql())
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the 100 TB scale path (bucket join in
+    place of the cross join); deterministic seeded planes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_ann(emb, _ANN_QUERY_IDS, k=5, n_planes=8, seed=7)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline on the synthetic pages corpus (non-SQL-expressible stages:
+# pandas-UDF extraction + mention detection + iterative CC → rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def _fixture_pages(spark: SparkSession, n_pages: int = 300, n_entities: int = 80):
+    from .fixtures.pages import pages_spark_df
+
+    return pages_spark_df(spark, n_pages, n_entities=n_entities)
+
+
+@_register("pl_extracted_text")
+def pl_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — boilerplate-stripped text via vectorized pandas UDF (byte-
+    identical per url to the pure-Python oracle; pytest asserts identity)."""
+    from .functions.text import with_extracted_text
+
+    pages = _fixture_pages(spark)
+    return with_extracted_text(pages.where(F.col("lang") == "en")).select("url", "text")
+
+
+@_register("pl_triples")
+def pl_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1→S3 — extraction → gazetteer mentions → canonical triples (the
+    north-star output; P/R gate lives in pytest against planted truth)."""
+    from .functions.mentions import extract_mention_pairs
+    from .functions.text import with_extracted_text
+    from .operators.triples import triples_from_mention_pairs
+    from .plans.pipeline import all_surfaces, gazetteer_df, phrase_map
+
+    pages = _fixture_pages(spark)
+    text = with_extracted_text(pages.where(F.col("lang") == "en")).select("url", "text")
+    mp = extract_mention_pairs(text, all_surfaces(80), phrase_map())
+    links = gazetteer_df(spark, 80).select("surface", "canonical")
+    return triples_from_mention_pairs(mp, links)
+
+
+@_register("pl_canonicalize_surfaces")
+def pl_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 open-vocabulary canonicalization — MinHash-LSH blocking + iterative
+    connected components (driver loop, localCheckpoint per round)."""
+    from .operators.linking import canonicalize_surfaces
+    from .plans.pipeline import all_surfaces
+
+    surfaces = spark.createDataFrame(
+        [(s,) for s in all_surfaces(80)], "surface string"
+    )
+    return canonicalize_surfaces(surfaces, threshold=0.55)
+
+
+@_register("pl_concept_hierarchy")
+def pl_concept_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline flagship: pages → triples → graph → characteristic sets
+    → labeled concept hierarchy (invariants enforced in pytest)."""
+    from .operators.concepts import build_hierarchy
+    from .operators.graph import graph_from_triples
+
+    triples = pl_triples(spark, sf_dir)
+    nodes, edges = graph_from_triples(triples)
+    cs = characteristic_sets(nodes, edges)
+    h = build_hierarchy(
+        cs.select(F.col("id").alias("instance_id"), F.col("rel_types").alias("intent"))
+    )
+    return h["concepts"].select(
+        "concept_id", "parent_id", "depth", "label", "count", "is_leaf"
+    )
