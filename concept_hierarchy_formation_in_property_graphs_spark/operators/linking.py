@@ -149,12 +149,17 @@ def connected_components(edges: DataFrame, spark: SparkSession | None = None,
 
 
 def canonicalize_surfaces(surfaces: DataFrame, threshold: float = 0.6,
-                          num_perm: int = 16, bands: int = 4) -> DataFrame:
+                          num_perm: int = 16, bands: int = 16) -> DataFrame:
     """surfaces(surface) → (surface, canonical) via LSH + CC.
 
     canonical = lexicographically smallest surface in each component
     (deterministic, order-free — a correctness upgrade over the reference's
     shuffled insertion order, documented divergence per SURVEY §2.1 O1).
+
+    Default bands = num_perm (1 row/band): candidate recall at the moderate
+    Jaccard levels alias pairs sit at (~0.4-0.6) stays >0.999; precision is
+    restored by the exact-Jaccard verify, so extra candidates only cost the
+    (band-bucketed, skew-safe) join.
     """
     uniq = surfaces.select("surface").distinct()
     with_sig = minhash_signature(uniq, "surface", num_perm=num_perm)

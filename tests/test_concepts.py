@@ -1,0 +1,199 @@
+"""Concept-hierarchy semantics: lattice shape, labels, counts, invariants,
+EAP/CU math — the reference's tree-invariant suite
+(`PropertyGraphCobwebProcTest.java:122-199`) plus the quirky numeric rules
+(`algos/ConceptNode.java:214-242`, `util/MathUtils.java:20-25`)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
+    RESIDUAL_SUFFIX,
+    SEP,
+    build_hierarchy,
+    category_utility,
+    concept_stats,
+    cutoff_labels,
+    cutoff_level,
+    expected_attribute_prediction,
+    invariant_violations,
+    subsumption_pairs,
+)
+
+
+def _instances(spark, rows):
+    return spark.createDataFrame(rows, "instance_id string, intent array<string>")
+
+
+def test_hierarchy_structure_and_labels(spark):
+    h = build_hierarchy(
+        _instances(
+            spark,
+            [
+                ("i1", ["a"]),
+                ("i2", ["a", "b"]),
+                ("i3", ["b", "a"]),  # order-insensitive
+                ("i4", ["a", "c"]),
+                ("i5", []),
+            ],
+        )
+    )
+    concepts = {r["concept_id"]: r.asDict() for r in h["concepts"].collect()}
+    ab = "a" + SEP + "b"
+    ac = "a" + SEP + "c"
+    res_root = "" + RESIDUAL_SUFFIX
+    res_a = "a" + RESIDUAL_SUFFIX
+    assert set(concepts) == {"", "a", ab, ac, res_root, res_a}
+    # parents: most specific proper subsumer
+    assert concepts["a"]["parent_id"] == ""
+    assert concepts[ab]["parent_id"] == "a"
+    assert concepts[ac]["parent_id"] == "a"
+    assert concepts[res_a]["parent_id"] == "a"
+    assert concepts[res_root]["parent_id"] == ""
+    # counts roll up: parent count = sum of children counts
+    assert concepts[""]["count"] == 5
+    assert concepts["a"]["count"] == 4
+    assert concepts[ab]["count"] == 2
+    assert concepts[ac]["count"] == 1
+    assert concepts[res_a]["count"] == 1
+    assert concepts[res_root]["count"] == 1
+    # depths
+    assert concepts[""]["depth"] == 0
+    assert concepts["a"]["depth"] == 1
+    assert concepts[ab]["depth"] == 2
+    # path labels (T3, `util/TreeUtils.java:82-90`): seed 'c', child rank by cid
+    assert concepts[""]["label"] == "c"
+    assert concepts[res_root]["label"] == "c0"  # \x1e sorts before 'a'
+    assert concepts["a"]["label"] == "c1"
+    assert concepts[res_a]["label"] == "c10"
+    assert concepts[ab]["label"] == "c11"
+    assert concepts[ac]["label"] == "c12"
+    # leaves/inner
+    assert not concepts[""]["is_leaf"] and not concepts["a"]["is_leaf"]
+    assert all(concepts[c]["is_leaf"] for c in (ab, ac, res_root, res_a))
+    # assignments: leaves only, residual remap
+    assign = {r["instance_id"]: r["concept_id"] for r in h["assignments"].collect()}
+    assert assign == {"i1": res_a, "i2": ab, "i3": ab, "i4": ac, "i5": res_root}
+    # reference invariant suite
+    assert invariant_violations(h["concepts"], h["assignments"]) == {
+        "dup_instance": 0,
+        "assign_to_inner": 0,
+        "orphans": 0,
+        "partition_counts": 0,
+    }
+
+
+def test_subsumption_pairs_matches_bruteforce(spark):
+    rng = random.Random(11)
+    universe = list("abcdefgh")
+    intents = []
+    seen = set()
+    for _ in range(40):
+        s = tuple(sorted(rng.sample(universe, rng.randint(1, 5))))
+        if s not in seen:
+            seen.add(s)
+            intents.append(s)
+    df = spark.createDataFrame(
+        [(SEP.join(s), list(s), len(s)) for s in intents],
+        "cid string, intent array<string>, size int",
+    )
+    got = {
+        (r["desc_cid"], r["anc_cid"]) for r in subsumption_pairs(df).collect()
+    }
+    exp = {
+        (SEP.join(d), SEP.join(a))
+        for d in intents
+        for a in intents
+        if len(a) < len(d) and set(a) <= set(d)
+    }
+    assert got == exp
+
+
+def test_cutoff_level_log2_rule(spark):
+    # log2(deepest)+1 with integer log2 and log2(0) = -1 (MathUtils.java:20-25)
+    root_only = _instances(spark, [("i", [])])
+    assert cutoff_level(build_hierarchy(root_only)["concepts"]) == 0
+    h = build_hierarchy(
+        _instances(spark, [("1", ["a"]), ("2", ["a", "b"]), ("3", ["a", "b", "c"])])
+    )
+    # depths 0..3; log2(3)=1 -> cutoff 2
+    assert cutoff_level(h["concepts"]) == 2
+    labels = {
+        r["concept_id"]: r["cutoff_label"]
+        for r in cutoff_labels(h["concepts"], 2).collect()
+    }
+    assert all(len(v) <= 2 for v in labels.values())
+
+
+def test_eap_numeric_rule_and_histograms(spark):
+    # two concepts: X (values 1,1 -> sigma 0 -> numeric contributes 0)
+    #               Y (values 1,3 -> sigma 1 -> 1/(7*(1+1)) = 1/14)
+    attrs = spark.createDataFrame(
+        [
+            ("a1", "color", "nom", "red", None),
+            ("a1", "size", "num", None, 1.0),
+            ("a2", "color", "nom", "red", None),
+            ("a2", "size", "num", None, 1.0),
+            ("b1", "color", "nom", "red", None),
+            ("b1", "size", "num", None, 1.0),
+            ("b2", "color", "nom", "blue", None),
+            ("b2", "size", "num", None, 3.0),
+        ],
+        "instance_id string, attr string, kind string, nom_value string, num_value double",
+    )
+    assignments = spark.createDataFrame(
+        [("a1", "X"), ("a2", "X"), ("b1", "Y"), ("b2", "Y")],
+        "instance_id string, concept_id string",
+    )
+    closure = spark.createDataFrame(
+        [("X", "X"), ("Y", "Y")], "desc string, anc string"
+    )
+    stats = concept_stats(attrs, assignments, closure)
+    # histogram merge semantics (updateCounts, ConceptNode.java:159-207):
+    # X.color has one row red cnt 2; Y.color two rows cnt 1 each
+    rows = {
+        (r["concept_id"], r["attr"], r["nom_value"]): r["cnt"]
+        for r in stats.where("kind = 'nom'").collect()
+    }
+    assert rows == {
+        ("X", "color", "red"): 2,
+        ("Y", "color", "red"): 1,
+        ("Y", "color", "blue"): 1,
+    }
+    counts = assignments.groupBy("concept_id").agg(F.count("*").alias("count"))
+    eap = {r["concept_id"]: r["eap"] for r in expected_attribute_prediction(stats, counts).collect()}
+    # X: nominal (2/2)^2 = 1; numeric sigma=0 -> 0; /2 attrs = 0.5
+    assert math.isclose(eap["X"], 0.5, abs_tol=1e-12)
+    # Y: nominal (1/2)^2+(1/2)^2 = .5 ; numeric 1/(7*2)=1/14 ; /2
+    assert math.isclose(eap["Y"], (0.5 + 1.0 / 14.0) / 2.0, abs_tol=1e-12)
+
+
+def test_category_utility_formula(spark):
+    concepts = spark.createDataFrame(
+        [("root", None, 4), ("X", "root", 2), ("Y", "root", 2)],
+        "concept_id string, parent_id string, count long",
+    )
+    eap = spark.createDataFrame(
+        [("root", 0.3), ("X", 0.5), ("Y", 0.4)], "concept_id string, eap double"
+    )
+    cu = {r["concept_id"]: r["cu"] for r in category_utility(concepts, eap).collect()}
+    # (2/4*(0.5-0.3) + 2/4*(0.4-0.3)) / 2 children = 0.075
+    assert math.isclose(cu["root"], 0.075, abs_tol=1e-12)
+
+
+def test_hierarchy_deterministic_across_partitionings(spark):
+    rows = [
+        (f"i{k}", sorted({random.Random(k).choice("abcd") for _ in range(3)}))
+        for k in range(60)
+    ]
+    a = build_hierarchy(_instances(spark, rows).repartition(2))
+    b = build_hierarchy(_instances(spark, rows).repartition(13))
+    ca = sorted(map(tuple, a["concepts"].drop("intent").collect()))
+    cb = sorted(map(tuple, b["concepts"].drop("intent").collect()))
+    assert ca == cb
+    assert sorted(map(tuple, a["assignments"].collect())) == sorted(
+        map(tuple, b["assignments"].collect())
+    )

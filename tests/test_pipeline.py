@@ -1,0 +1,89 @@
+"""End-to-end gates (north rule): triple P/R >= 0.95 vs planted truth,
+tree invariants, determinism across partition counts, checkpoint resume
+with identical final output.
+
+One full pipeline run is shared across the P/R and resume tests (module
+fixture); determinism uses a smaller corpus at two partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from concept_hierarchy_formation_in_property_graphs_spark.fixtures.pages import (
+    generate_pages,
+    pages_spark_df,
+)
+from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
+    invariant_violations,
+)
+from concept_hierarchy_formation_in_property_graphs_spark.plans.pipeline import (
+    run_pipeline,
+)
+
+N_PAGES = 120
+N_ENT = 60
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark):
+    wd = tempfile.mkdtemp(prefix="chf_e2e_")
+    pages = pages_spark_df(spark, N_PAGES, n_entities=N_ENT)
+    out = run_pipeline(spark, pages, wd, n_entities=N_ENT)
+    yield wd, out
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_pipeline_precision_recall_and_invariants(spark, pipeline_run):
+    _, out = pipeline_run
+    _, _, expected = generate_pages(N_PAGES, N_ENT)
+    got = set(map(tuple, out["triples"].collect()))
+    exp = set(map(tuple, expected.itertuples(index=False)))
+    tp = len(got & exp)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(exp), 1)
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+    assert invariant_violations(out["concepts"], out["assignments"]) == {
+        "dup_instance": 0,
+        "assign_to_inner": 0,
+        "orphans": 0,
+        "partition_counts": 0,
+    }
+    # leaf-count invariant (ProcTest L134): every graph node assigned once
+    assert out["assignments"].count() == out["nodes"].count()
+
+
+def test_resume_after_partial_failure_identical_output(spark, pipeline_run):
+    wd, out1 = pipeline_run
+    final1 = sorted(map(tuple, out1["concepts"].drop("intent").collect()))
+    # simulate a crash after S5: wipe the last two stages
+    shutil.rmtree(wd + "/s6_concepts")
+    shutil.rmtree(wd + "/s6_assignments")
+    pages = pages_spark_df(spark, N_PAGES, n_entities=N_ENT)
+    out2 = run_pipeline(spark, pages, wd, n_entities=N_ENT)
+    resumed = {m["stage"] for m in out2["metrics"] if m.get("resumed")}
+    assert "s1_text" in resumed and "s3_triples" in resumed
+    assert "s6_concepts" not in resumed  # was wiped -> recomputed
+    final2 = sorted(map(tuple, out2["concepts"].drop("intent").collect()))
+    assert final1 == final2
+    # per-partition lineage exists for recomputed stages
+    assert os.path.exists(wd + "/s6_concepts__lineage")
+
+
+def test_pipeline_deterministic_across_partition_counts(spark):
+    wd1 = tempfile.mkdtemp(prefix="chf_det1_")
+    wd2 = tempfile.mkdtemp(prefix="chf_det2_")
+    try:
+        p1 = pages_spark_df(spark, 60, n_entities=40, partitions=3)
+        p2 = pages_spark_df(spark, 60, n_entities=40, partitions=17)
+        t1 = sorted(map(tuple, run_pipeline(spark, p1, wd1, n_entities=40)["triples"].collect()))
+        t2 = sorted(map(tuple, run_pipeline(spark, p2, wd2, n_entities=40)["triples"].collect()))
+        assert t1 == t2
+    finally:
+        shutil.rmtree(wd1, ignore_errors=True)
+        shutil.rmtree(wd2, ignore_errors=True)
