@@ -103,15 +103,21 @@ _HTML_TEMPLATE = """<html><head><title>Doc {doc_id}</title>
 </body></html>"""
 
 
-def generate_page(doc_id: int, gaz: list[Entity], n_hubs: int, seed: int = 42):
-    """Return (row dict, list of planted canonical triples)."""
+def generate_page(doc_id: int, gaz: list[Entity], n_hubs: int, seed: int = 42,
+                  content_scale: int = 1):
+    """Return (row dict, list of planted canonical triples).
+
+    ``content_scale`` multiplies the page body (relation sentences + filler
+    paragraphs + extra boilerplate) so benchmark corpora can match real
+    Common-Crawl page sizes (~30-100 KB html) while tests stay small.
+    """
     rng = random.Random(doc_id * 1000003 + seed)
     by_kind: dict[str, list[Entity]] = {}
     for e in gaz:
         by_kind.setdefault(e.kind, []).append(e)
 
     lang = "en" if rng.random() < 0.95 else rng.choice(["de", "xx"])
-    n_rel = rng.randint(0, 4)  # 0-8 mentions
+    n_rel = rng.randint(0, 4 * content_scale)
     paragraphs: list[str] = []
     triples: list[tuple[str, str, str]] = []
     for _ in range(n_rel):
@@ -122,9 +128,18 @@ def generate_page(doc_id: int, gaz: list[Entity], n_hubs: int, seed: int = 42):
             continue
         ssurf = rng.choice(subj.surfaces)
         osurf = rng.choice(obj.surfaces)
-        filler = " ".join(rng.choice(_FILLER_WORDS) for _ in range(rng.randint(3, 8)))
+        filler = " ".join(
+            rng.choice(_FILLER_WORDS)
+            for _ in range(rng.randint(3 * content_scale, 8 * content_scale))
+        )
         paragraphs.append(f"<p>{ssurf} {phrase} {osurf}.</p>")
         paragraphs.append(f"<p>{filler.capitalize()}.</p>")
+        if content_scale > 1:
+            # per-paragraph ad/tracker boilerplate the extractor must strip
+            paragraphs.append(
+                f"<script>track({doc_id},{len(paragraphs)});</script>"
+                f"<aside>promo {rng.randint(0, 9)} related items</aside>"
+            )
         if lang == "en":
             triples.append((subj.canonical, pred, obj.canonical))
     body = "\n".join(paragraphs) if paragraphs else "<p>Empty archive record.</p>"
@@ -138,7 +153,8 @@ def generate_page(doc_id: int, gaz: list[Entity], n_hubs: int, seed: int = 42):
     return row, triples
 
 
-def generate_pages(n_pages: int, n_entities: int = 500, seed: int = 42):
+def generate_pages(n_pages: int, n_entities: int = 500, seed: int = 42,
+                   content_scale: int = 1):
     """Returns (pages pandas.DataFrame, expected_text df, expected_triples df).
 
     expected_triples is the DISTINCT set of planted canonical triples over
@@ -149,7 +165,7 @@ def generate_pages(n_pages: int, n_entities: int = 500, seed: int = 42):
     n_hubs = max(1, n_entities // 50)
     rows, texts, all_triples = [], [], set()
     for i in range(n_pages):
-        row, triples = generate_page(i, gaz, n_hubs, seed)
+        row, triples = generate_page(i, gaz, n_hubs, seed, content_scale)
         rows.append(row)
         texts.append({"url": row["url"], "text": extract_text_py(row["html"])})
         all_triples.update(triples)
@@ -161,8 +177,13 @@ def generate_pages(n_pages: int, n_entities: int = 500, seed: int = 42):
     return pages, expected_text, expected_triples
 
 
+PAGES_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
 def pages_spark_df(spark, n_pages: int, n_entities: int = 500, seed: int = 42,
-                   partitions: int | None = None):
+                   partitions: int | None = None, content_scale: int = 1):
     """Materialize the fixture as a Spark DataFrame with the contract schema."""
     from pyspark.sql.types import (
         BinaryType,
@@ -172,7 +193,7 @@ def pages_spark_df(spark, n_pages: int, n_entities: int = 500, seed: int = 42,
         TimestampType,
     )
 
-    pages, _, _ = generate_pages(n_pages, n_entities, seed)
+    pages, _, _ = generate_pages(n_pages, n_entities, seed, content_scale)
     schema = StructType(
         [
             StructField("url", StringType()),
@@ -186,3 +207,46 @@ def pages_spark_df(spark, n_pages: int, n_entities: int = 500, seed: int = 42,
     if partitions:
         df = df.repartition(partitions)
     return df
+
+
+def pages_spark_df_distributed(spark, n_pages: int, n_entities: int = 500,
+                               seed: int = 42, partitions: int | None = None,
+                               content_scale: int = 1):
+    """Corpus-scale fixture: pages generated ON THE EXECUTORS.
+
+    spark.range drives doc_ids; each Arrow batch synthesizes its pages with
+    the same deterministic per-doc RNG as the driver generator, so output is
+    byte-identical to :func:`pages_spark_df` at any parallelism — but the
+    driver never materializes the corpus (a 10^12-row fixture is just a
+    bigger range)."""
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        gaz = make_gazetteer(n_entities)
+        n_hubs = max(1, n_entities // 50)
+        for pdf in batches:
+            rows = [
+                generate_page(int(i), gaz, n_hubs, seed, content_scale)[0]
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return (
+        spark.range(0, n_pages, numPartitions=n_parts)
+        .mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
+    )
+
+
+def expected_triples_for(n_pages: int, n_entities: int = 500, seed: int = 42,
+                         content_scale: int = 1):
+    """Planted-truth triples without materializing page bodies (P/R gate
+    for corpus-scale runs)."""
+    gaz = make_gazetteer(n_entities)
+    n_hubs = max(1, n_entities // 50)
+    out: set[tuple[str, str, str]] = set()
+    for i in range(n_pages):
+        _, triples = generate_page(i, gaz, n_hubs, seed, content_scale)
+        out.update(triples)
+    return out

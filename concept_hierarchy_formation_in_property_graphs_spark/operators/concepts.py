@@ -88,20 +88,81 @@ def subsumption_pairs(intents: DataFrame) -> DataFrame:
     )
 
 
+def galois_close_intents(intents: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Close a distinct-intent table under pairwise intersection (the
+    Galois/FCA concept closure — Godin et al., cited by the thesis as the
+    principled construction, `doc/thesis/06-conclusions.tex:13`).
+
+    Internal concepts of a planted taxonomy are exactly the intersections
+    of observed leaf intents, so closure is what turns a flat exact-intent
+    lattice into the full tree. Iterates rounds of candidate-pair
+    intersection until fixpoint; candidates pair only through a shared
+    item (an empty intersection is always the root, never new), and the
+    table being closed is the CONCEPT table (≪ instances), localCheckpoint
+    per round keeps lineage O(1).
+
+    intents: (cid, intent) distinct. Returns the closed (cid, intent) set.
+    """
+    known = intents.select("cid", "intent").localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        items = known.select("cid", "intent", F.explode("intent").alias("item"))
+        pairs = (
+            items.alias("a")
+            .join(items.alias("b"), "item")
+            .where(F.col("a.cid") < F.col("b.cid"))
+            .select(
+                F.array_sort(
+                    F.array_intersect(F.col("a.intent"), F.col("b.intent"))
+                ).alias("intent")
+            )
+            .dropDuplicates(["intent"])
+            .withColumn("cid", F.concat_ws(SEP, "intent"))
+        )
+        new = pairs.join(known.select("cid"), "cid", "left_anti").select(
+            "cid", "intent"
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        known = known.unionByName(new).localCheckpoint(eager=True)
+    return known
+
+
 def build_hierarchy(instances: DataFrame, root_seed: str = "c",
-                    max_depth: int = 64) -> dict[str, DataFrame]:
+                    max_depth: int = 64,
+                    driver_threshold: int = 200_000,
+                    galois: bool = False) -> dict[str, DataFrame]:
     """instances(instance_id, intent ARRAY<STRING>) → hierarchy tables.
 
     Returns dict with:
       concepts(concept_id, parent_id, depth, label, count, intent, is_leaf)
       assignments(instance_id, concept_id)   # leaf concepts only
       closure(desc, anc)                     # reflexive-transitive
+
+    The heavy relational work (intent dedup, subsumption self-join,
+    instance assignment) is distributed. The tree-METADATA pass (depth,
+    path label, closure, subtree counts) runs driver-side when the concept
+    table is ≤ ``driver_threshold`` rows — #concepts = #distinct intents,
+    orders of magnitude below #instances even at corpus scale, and the
+    driver pass replaces ~8 shuffle rounds of the level-by-level loop with
+    one collect + one createDataFrame. Above the threshold the level loop
+    (localCheckpoint per level) takes over.
     """
     inst = _canonical_intents(instances)
     exact = inst.groupBy("cid", "intent").agg(F.count("*").alias("n_exact"))
     exact = exact.withColumn("size", F.size("intent")).localCheckpoint(eager=True)
 
     intents = exact.select("cid", "intent", "size", "n_exact")
+    if galois:
+        closed = galois_close_intents(exact.select("cid", "intent"))
+        extra = (
+            closed.join(exact.select("cid"), "cid", "left_anti")
+            .select(
+                "cid", "intent", F.size("intent").alias("size"),
+                F.lit(0).cast("long").alias("n_exact"),
+            )
+        )
+        intents = intents.unionByName(extra)
     has_root = intents.where(F.col("cid") == ROOT_ID).limit(1).count() > 0
     if not has_root:
         spark = instances.sparkSession
@@ -155,9 +216,13 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
         .localCheckpoint(eager=True)
     )
 
-    # assignments: instance → exact-intent concept, remapped to residual leaf
-    res_map = residuals.select(
-        F.col("parent_id").alias("cid"), F.col("cid").alias("res_cid")
+    # assignments: instance → exact-intent concept, remapped to residual
+    # leaf; residual map is concept-sized (tiny) → broadcast, so the big
+    # instance side never shuffles here
+    res_map = F.broadcast(
+        residuals.select(
+            F.col("parent_id").alias("cid"), F.col("cid").alias("res_cid")
+        )
     )
     assignments = (
         inst.join(res_map, "cid", "left")
@@ -166,8 +231,13 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
         )
     )
 
-    # depth / path labels / ancestor paths in one level-by-level sweep (T3)
     spark = instances.sparkSession
+    n_concepts = parents.count()
+    if n_concepts <= driver_threshold:
+        concepts, closure = _tree_metadata_driver(spark, parents, root_seed)
+        return {"concepts": concepts, "assignments": assignments, "closure": closure}
+
+    # depth / path labels / ancestor paths in one level-by-level sweep (T3)
     frontier = (
         parents.where(F.col("parent_id").isNull())
         .select(
@@ -245,6 +315,85 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
         )
     )
     return {"concepts": concepts, "assignments": assignments, "closure": closure}
+
+
+def _tree_metadata_driver(spark, parents: DataFrame, root_seed: str):
+    """Depth/label/closure/count pass on the collected concept table.
+
+    Pure-Python BFS over the (small) concept adjacency — the same labeling
+    rule as T3 (`util/TreeUtils.java:82-90`): child rank = ascending cid,
+    label = parent label + rank. Returns (concepts, closure) DataFrames.
+    """
+    rows = parents.select("cid", "intent", "n_exact", "parent_id").collect()
+    info = {r["cid"]: (r["intent"], r["n_exact"], r["parent_id"]) for r in rows}
+    children: dict[str, list[str]] = {}
+    roots = []
+    for cid, (_, _, pid) in info.items():
+        if pid is None:
+            roots.append(cid)
+        else:
+            children.setdefault(pid, []).append(cid)
+
+    # subtree counts first (post-order), so instance-free subtrees —
+    # possible when Galois closure adds concepts nothing maps through —
+    # can be pruned before labeling
+    count: dict[str, int] = {}
+
+    def _subtree_count(start: str) -> None:
+        order = []
+        stack = [start]
+        while stack:
+            cid = stack.pop()
+            order.append(cid)
+            stack.extend(children.get(cid, ()))
+        for cid in reversed(order):
+            count[cid] = info[cid][1] + sum(
+                count[k] for k in children.get(cid, ())
+            )
+
+    for r in roots:
+        _subtree_count(r)
+    pruned = {cid for cid in info if count[cid] == 0 and cid not in roots}
+    if pruned:
+        info = {c: v for c, v in info.items() if c not in pruned}
+        children = {
+            c: [k for k in kids if k not in pruned]
+            for c, kids in children.items()
+            if c not in pruned
+        }
+
+    depth: dict[str, int] = {}
+    label: dict[str, str] = {}
+    anc_path: dict[str, list[str]] = {}
+    stack = [(r, 0, root_seed, []) for r in sorted(roots)]
+    while stack:
+        cid, d, lbl, path = stack.pop()
+        depth[cid] = d
+        label[cid] = lbl
+        anc_path[cid] = path
+        for rank, kid in enumerate(sorted(children.get(cid, ()))):
+            stack.append((kid, d + 1, lbl + str(rank), path + [cid]))
+    concepts = spark.createDataFrame(
+        [
+            (
+                cid,
+                info[cid][2],
+                depth[cid],
+                label[cid],
+                count[cid],
+                list(info[cid][0]),
+                not children.get(cid),
+            )
+            for cid in info
+        ],
+        "concept_id string, parent_id string, depth int, label string, "
+        "count long, intent array<string>, is_leaf boolean",
+    )
+    closure = spark.createDataFrame(
+        [(cid, a) for cid in info for a in [cid, *anc_path[cid]]],
+        "desc string, anc string",
+    )
+    return concepts, closure
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +502,41 @@ def category_utility(concepts: DataFrame, eap: DataFrame) -> DataFrame:
                 F.sum(F.col("c_count") / F.col("p_count") * (F.col("c_eap") - F.col("p_eap")))
                 / F.count("*")
             ).alias("cu")
+        )
+    )
+
+
+def cluster_representatives(members: DataFrame, cluster_col: str,
+                            items_col: str) -> DataFrame:
+    """P5 two-step estimator representative (`clustering_survey.py:133-148`):
+    collapse each cluster to the AND-intersection of its members' item sets
+    — an item survives iff it appears in EVERY member. One explode + one
+    count-match aggregate; no pairwise work."""
+    sized = members.select(
+        F.col(cluster_col).alias("cluster"),
+        F.array_distinct(F.col(items_col)).alias("items"),
+    )
+    n = sized.groupBy("cluster").agg(F.count("*").alias("_n"))
+    per_item = (
+        sized.select("cluster", F.explode("items").alias("item"))
+        .groupBy("cluster", "item")
+        .agg(F.count("*").alias("_k"))
+    )
+    kept = per_item.join(F.broadcast(n), "cluster").where(F.col("_k") == F.col("_n"))
+    return (
+        n.select("cluster")
+        .join(
+            kept.groupBy("cluster").agg(
+                F.array_sort(F.collect_list("item")).alias("representative")
+            ),
+            "cluster",
+            "left",
+        )
+        .select(
+            "cluster",
+            F.coalesce("representative", F.array().cast("array<string>")).alias(
+                "representative"
+            ),
         )
     )
 

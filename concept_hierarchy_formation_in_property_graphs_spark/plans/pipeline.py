@@ -51,29 +51,51 @@ def run_pipeline(
     workdir: str,
     n_entities: int = 500,
     lang: str = "en",
+    parallelism: int | None = None,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns stage DataFrames."""
+    """Run (or resume) the full pipeline; returns stage DataFrames.
+
+    ``parallelism`` sets the partition count for the CPU-bound pandas-UDF
+    stages (S1 extraction, S2 mentions). Parquet splits input by BYTES
+    (maxPartitionBytes / openCostInBytes bin-packing), which undercuts a
+    compute-bound stage — a 16 MB input is one split even on 32 cores, and
+    tiny stage outputs get packed into one partition. Defaults to
+    2× defaultParallelism.
+    """
     runner = StageRunner(spark, workdir)
+    par = parallelism or spark.sparkContext.defaultParallelism * 2
+
+    def _spread(df: DataFrame) -> DataFrame:
+        # only pay the shuffle when the byte-based split is too coarse
+        return df.repartition(par) if df.rdd.getNumPartitions() < par else df
 
     # S1 — boilerplate-stripped text (vectorized pandas UDF; filter first so
     # non-target languages never cross the Arrow boundary)
     s1 = runner.stage(
         "s1_text",
-        lambda: with_extracted_text(pages.where(F.col("lang") == lang)).select(
-            "url", "text"
-        ),
+        lambda: with_extracted_text(
+            _spread(pages.where(F.col("lang") == lang))
+        ).select("url", "text"),
     )
 
     # S2 — gazetteer mention detection + relation patterns
     s2 = runner.stage(
         "s2_mentions",
-        lambda: extract_mention_pairs(s1, all_surfaces(n_entities), phrase_map()),
+        lambda: extract_mention_pairs(
+            _spread(s1), all_surfaces(n_entities), phrase_map()
+        ),
     )
 
     # S3 — linking: exact gazetteer dimension join (broadcast). The
     # LSH+CC canonicalizer (operators/linking.py) covers open-vocabulary
     # surfaces; with a closed gazetteer the exact join is the whole story.
-    links = gazetteer_df(spark, n_entities).select("surface", "canonical")
+    # localCheckpoint so the two broadcast copies (subj/obj side) don't
+    # each re-evaluate the dimension plan.
+    links = (
+        gazetteer_df(spark, n_entities)
+        .select("surface", "canonical")
+        .localCheckpoint(eager=True)
+    )
     s3 = runner.stage(
         "s3_triples", lambda: triples_from_mention_pairs(s2, links)
     )
@@ -91,29 +113,29 @@ def run_pipeline(
     )
 
     # S6 — concept hierarchy over characteristic-set intents (F3 is the
-    # natural FCA intent per SURVEY §2.2)
-    def build_s6() -> DataFrame:
-        h = build_hierarchy(
-            s5_intents.select(
-                F.col("id").alias("instance_id"), F.col("rel_types").alias("intent")
+    # natural FCA intent per SURVEY §2.2). build_hierarchy is memoized so
+    # the two S6 snapshots share one lattice construction (and zero when
+    # both stages resume from checkpoint).
+    _h_cache: dict[str, dict] = {}
+
+    def _hierarchy() -> dict:
+        if "h" not in _h_cache:
+            _h_cache["h"] = build_hierarchy(
+                s5_intents.select(
+                    F.col("id").alias("instance_id"),
+                    F.col("rel_types").alias("intent"),
+                )
             )
-        )
-        return h["concepts"].select(
+        return _h_cache["h"]
+
+    s6_concepts = runner.stage(
+        "s6_concepts",
+        lambda: _hierarchy()["concepts"].select(
             "concept_id", "parent_id", "depth", "label", "count",
             F.col("intent"), "is_leaf",
-        )
-
-    s6_concepts = runner.stage("s6_concepts", build_s6)
-
-    def build_s6_assign() -> DataFrame:
-        h = build_hierarchy(
-            s5_intents.select(
-                F.col("id").alias("instance_id"), F.col("rel_types").alias("intent")
-            )
-        )
-        return h["assignments"]
-
-    s6_assign = runner.stage("s6_assignments", build_s6_assign)
+        ),
+    )
+    s6_assign = runner.stage("s6_assignments", lambda: _hierarchy()["assignments"])
 
     runner.write_run_metrics()
     return {

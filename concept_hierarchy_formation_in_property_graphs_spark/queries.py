@@ -650,6 +650,141 @@ def kg_category_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.where(F.col("concept_id") == "").select(F.round("cu", 4).alias("cu4"))
 
 
+@_register(
+    "kg_concept_factor",
+    f"""
+WITH RECURSIVE {_PARENTS_SQL.strip()},
+allnodes AS (
+  SELECT cid, parent_cid, n_exact FROM parents
+  UNION ALL SELECT '', NULL, 0
+),
+closure AS (
+  SELECT cid AS "desc", cid AS anc FROM allnodes
+  UNION ALL
+  SELECT c."desc", t.parent_cid
+  FROM closure c JOIN allnodes t ON c.anc = t.cid
+  WHERE t.parent_cid IS NOT NULL
+),
+counts AS (
+  SELECT c.anc AS cid, sum(t.n_exact) AS cnt
+  FROM closure c JOIN allnodes t ON c."desc" = t.cid
+  GROUP BY c.anc
+)
+SELECT this, val, round(factor, 6) AS factor6 FROM (
+  SELECT c."desc" AS this, c.anc AS val, 1.0 AS factor
+  FROM closure c
+  UNION ALL
+  SELECT c.anc AS this, c."desc" AS val,
+         CAST(kd.cnt AS DOUBLE) / ka.cnt AS factor
+  FROM closure c
+  JOIN counts kd ON c."desc" = kd.cid
+  JOIN counts ka ON c.anc = ka.cid
+  WHERE c."desc" <> c.anc
+)
+""",
+)
+def kg_concept_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 `ConceptValue.getFactor` (`algos/ConceptValue.java:73-82`):
+    P(this|val) = 1 when val superconcept/equal, count-ratio when val is a
+    subconcept, via the closure table (no tree walking)."""
+    from .operators.concepts import build_hierarchy
+
+    edges = tpch_edges(spark, sf_dir)
+    cs = characteristic_sets(_graph_nodes(edges), edges)
+    h = build_hierarchy(
+        cs.select(F.col("id").alias("instance_id"), F.col("rel_types").alias("intent"))
+    )
+    tr = lambda col: F.replace(F.col(col), F.lit("\x1f"), F.lit(","))  # noqa: E731
+    # residual leaves are a tree artifact, not concepts — exclude from the
+    # factor table (they only ever appear as closure descendants)
+    closure = (
+        h["closure"]
+        .where(~F.col("desc").contains("\x1e"))
+        .select(tr("desc").alias("desc"), tr("anc").alias("anc"))
+    )
+    counts = h["concepts"].select(
+        tr("concept_id").alias("cid"), F.col("count").cast("double").alias("cnt")
+    )
+    up = closure.select(
+        F.col("desc").alias("this"), F.col("anc").alias("val"), F.lit(1.0).alias("factor")
+    )
+    down = (
+        closure.where(F.col("desc") != F.col("anc"))
+        .join(counts.withColumnRenamed("cid", "desc"), "desc")
+        .withColumnRenamed("cnt", "cnt_desc")
+        .join(counts.withColumnRenamed("cid", "anc"), "anc")
+        .select(
+            F.col("anc").alias("this"),
+            F.col("desc").alias("val"),
+            (F.col("cnt_desc") / F.col("cnt")).alias("factor"),
+        )
+    )
+    return up.unionByName(down).select(
+        "this", "val", F.round("factor", 6).alias("factor6")
+    )
+
+
+@_register(
+    "tx_cluster_representatives",
+    """
+WITH sized AS (
+  SELECT lang AS cluster, list_distinct(string_split(text, ' ')) AS items
+  FROM documents
+),
+n AS (SELECT cluster, count(*) AS _n FROM sized GROUP BY cluster),
+per_item AS (
+  SELECT cluster, unnest(items) AS item FROM sized
+),
+cnts AS (SELECT cluster, item, count(*) AS _k FROM per_item GROUP BY cluster, item),
+kept AS (
+  SELECT c.cluster, c.item FROM cnts c JOIN n ON c.cluster = n.cluster
+  WHERE c._k = n._n
+)
+SELECT n.cluster,
+       COALESCE(array_to_string(
+         list_sort(list(kept.item) FILTER (WHERE kept.item IS NOT NULL)), ','), '')
+         AS representative
+FROM n LEFT JOIN kept ON n.cluster = kept.cluster
+GROUP BY n.cluster
+""",
+)
+def tx_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 two-step representative: per-language AND-intersection of the
+    documents' token sets (`clustering_survey.py:133-148`)."""
+    from .operators.concepts import cluster_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    members = docs.select("lang", F.split("text", " ").alias("toks"))
+    reps = cluster_representatives(members, "lang", "toks")
+    return reps.select(
+        F.col("cluster"), F.concat_ws(",", "representative").alias("representative")
+    )
+
+
+@_register(
+    "dd_exact_jaccard_pairs",
+    """
+WITH toksets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+""",
+)
+def dd_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 all-pairs Jaccard (gold standard for the LSH path; id-capped —
+    the quadratic variant exists for verification, LSH is production)."""
+    from .operators.dedup import exact_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, threshold=0.8, max_id=200)
+
+
 # ---------------------------------------------------------------------------
 # dedup family (documents table)
 # ---------------------------------------------------------------------------
@@ -726,7 +861,8 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=32)
 
 
-def _lsh_pairs_oracle_sql(num_perm: int = 16, bands: int = 8, threshold: float = 0.7) -> str:
+def _lsh_pairs_oracle_sql(num_perm: int = 16, bands: int = 8, threshold: float = 0.7,
+                          max_bucket: int = 0) -> str:
     rows = num_perm // bands
     mh = _minhash_oracle_sql(num_perm).strip()
     band_rows = "\n  UNION ALL ".join(
@@ -736,14 +872,28 @@ def _lsh_pairs_oracle_sql(num_perm: int = 16, bands: int = 8, threshold: float =
         )
         for i in range(bands)
     )
+    cap = (
+        f""",
+capped AS (
+  SELECT band_idx, band_hash FROM banded
+  GROUP BY band_idx, band_hash HAVING count(*) <= {max_bucket}
+),
+banded2 AS (
+  SELECT b.* FROM banded b JOIN capped c
+    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+)"""
+        if max_bucket > 0
+        else ""
+    )
+    src = "banded2" if max_bucket > 0 else "banded"
     return f"""
 WITH sigs AS ({mh}),
 banded AS (
   {band_rows}
-),
+){cap},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM {src} a JOIN {src} b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
 ),
@@ -767,6 +917,17 @@ def dd_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-scale near-dup path; the band join replaces all-pairs O(n²))."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(docs, num_perm=16, bands=8, threshold=0.7)
+
+
+@_register("dd_lsh_near_dup_capped", _lsh_pairs_oracle_sql(max_bucket=64))
+def dd_lsh_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup with hot-bucket capping (≤64 docs/bucket) — the guard
+    that keeps boilerplate mega-buckets from going quadratic at corpus
+    scale; recall is preserved through the remaining bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, num_perm=16, bands=8, threshold=0.7, max_bucket=64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1006,6 +1167,22 @@ def pl_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s,) for s in all_surfaces(80)], "surface string"
     )
     return canonicalize_surfaces(surfaces, threshold=0.55)
+
+
+@_register("pl_two_phase_hierarchy")
+def pl_two_phase_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 two-phase summary pipeline (`algos/PropertyGraphCobweb.java:
+    309-380`): three phase-1 trees → per-node cutoff-label summaries →
+    final hierarchy. Iterative + multi-tree → rows-only check."""
+    from .operators.graph import graph_from_triples
+    from .operators.two_phase import two_phase_hierarchy
+
+    triples = pl_triples(spark, sf_dir)
+    nodes, edges = graph_from_triples(triples)
+    h = two_phase_hierarchy(spark, nodes, edges)
+    return h["concepts"].select(
+        "concept_id", "parent_id", "depth", "label", "count", "is_leaf"
+    )
 
 
 @_register("pl_concept_hierarchy")

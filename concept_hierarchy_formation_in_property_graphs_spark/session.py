@@ -40,9 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html rows are MB-sized: keep Arrow batches small so a batch of
-        # pages fits executor memory even at 100 TB row sizes.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # html rows are 10s-of-KB to MB-sized: keep Arrow batches small so
+        # a batch stays under G1's humongous-allocation threshold — big
+        # batches (2048 × 40 KB ≈ 80 MB arrays) trigger the GCLocker retry
+        # storm with JNI/Arrow critical sections and wedge the executor.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

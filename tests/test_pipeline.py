@@ -72,7 +72,7 @@ def test_resume_after_partial_failure_identical_output(spark, pipeline_run):
     final2 = sorted(map(tuple, out2["concepts"].drop("intent").collect()))
     assert final1 == final2
     # per-partition lineage exists for recomputed stages
-    assert os.path.exists(wd + "/s6_concepts__lineage")
+    assert os.path.exists(wd + "/s6_concepts/_lineage.json")
 
 
 def test_pipeline_deterministic_across_partition_counts(spark):
