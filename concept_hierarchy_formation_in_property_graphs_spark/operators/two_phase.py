@@ -101,6 +101,74 @@ def _cutoff_label_map(h: dict, cap: int | None = None) -> DataFrame:
     )
 
 
+ABLATION_VARIANTS = (
+    "label", "label_prop", "label_struct", "label_char",
+    "label_prop_struct", "label_prop_char", "label_struct_char",
+    "label_prop_struct_char",
+)
+
+
+def feature_ablation_intents(nodes: DataFrame, edges: DataFrame,
+                             variant: str = "label_struct_char") -> DataFrame:
+    """F6 — the reference's 8 `integrate*` feature-vector ablations
+    (`algos/PropertyGraphCobweb.java:40-248`; the Neo4j procedure entry uses
+    labels+structural+characteristic, `proc/PropertyGraphCobwebProc.java:40`).
+
+    Returns (instance_id, intent) with the chosen feature families union'd
+    into one intent set; prefixes keep the families disjoint.
+    """
+    if variant not in ABLATION_VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}")
+    parts = [
+        nodes.select(
+            F.col("id").alias("instance_id"),
+            F.explode("labels").alias("item"),
+        )
+    ]
+    if "prop" in variant:
+        parts.append(
+            nodes.select(
+                F.col("id").alias("instance_id"),
+                F.explode(F.map_entries("props")).alias("e"),
+            ).select(
+                "instance_id",
+                F.concat(F.col("e.key"), F.lit("="), F.col("e.value")).alias("item"),
+            )
+        )
+    if "struct" in variant:
+        parts.append(
+            structural_intents(nodes, edges).select(
+                "instance_id", F.explode("intent").alias("item")
+            )
+        )
+    if "char" in variant:
+        inc = edges.select(F.col("src").alias("instance_id"), "rel_type").union(
+            edges.select(F.col("dst").alias("instance_id"), "rel_type")
+        )
+        parts.append(
+            inc.select(
+                "instance_id", F.concat(F.lit("Rel:"), F.col("rel_type")).alias("item")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        nodes.select(F.col("id").alias("instance_id"))
+        .join(
+            out.groupBy("instance_id").agg(
+                F.array_sort(F.collect_set("item")).alias("intent")
+            ),
+            "instance_id",
+            "left",
+        )
+        .select(
+            "instance_id",
+            F.coalesce("intent", F.array().cast("array<string>")).alias("intent"),
+        )
+    )
+
+
 def two_phase_hierarchy(spark: SparkSession, nodes: DataFrame,
                         edges: DataFrame) -> dict[str, DataFrame]:
     """Returns the phase-2 hierarchy dict (+ the three phase-1 trees)."""

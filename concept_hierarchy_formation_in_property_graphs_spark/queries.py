@@ -651,6 +651,40 @@ def kg_category_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kg_ablation_label_char",
+    f"""
+WITH {_EDGES_SQL.strip()},
+nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+items AS (
+  SELECT id AS instance_id, 'Entity' AS item FROM nodes
+  UNION ALL
+  SELECT src, 'Rel:' || rel_type FROM edges
+  UNION ALL
+  SELECT dst, 'Rel:' || rel_type FROM edges
+)
+SELECT instance_id,
+       array_to_string(list_sort(list_distinct(list(item))), ',') AS intent
+FROM items GROUP BY instance_id
+""",
+)
+def kg_ablation_label_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 feature ablation (labels + characteristic set — one of the
+    reference's 8 `integrate*` variants, `PropertyGraphCobweb.java:40-248`)."""
+    from .operators.graph import graph_from_triples
+    from .operators.two_phase import feature_ablation_intents
+
+    triples = tpch_edges(spark, sf_dir).select(
+        F.col("src").alias("subj"), F.col("rel_type").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    nodes, edges = graph_from_triples(triples)
+    intents = feature_ablation_intents(nodes, edges, "label_char")
+    return intents.select(
+        "instance_id", F.concat_ws(",", "intent").alias("intent")
+    )
+
+
+@_register(
     "kg_concept_factor",
     f"""
 WITH RECURSIVE {_PARENTS_SQL.strip()},

@@ -34,7 +34,7 @@ def audit_plan(name: str, plan: str) -> list[str]:
         notes.append("HAZARD: cartesian product without broadcast")
     if "BatchEvalPython" in plan:
         notes.append("HAZARD: row-at-a-time Python UDF in plan")
-    n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+    n_codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
     n_exchange = len(re.findall(r"Exchange", plan))
     n_bcast = len(re.findall(r"BroadcastExchange", plan))
     scans = re.findall(r"ReadSchema: (.*)", plan)
