@@ -163,13 +163,22 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
             )
         )
         intents = intents.unionByName(extra)
-    has_root = intents.where(F.col("cid") == ROOT_ID).limit(1).count() > 0
-    if not has_root:
-        spark = instances.sparkSession
-        root_row = spark.createDataFrame(
-            [(ROOT_ID, [], 0, 0)], "cid string, intent array<string>, size int, n_exact long"
+    # ensure the ⊤ root (empty intent) exists exactly once: union a zero-
+    # count root row and merge — avoids a blocking existence-check job
+    spark = instances.sparkSession
+    root_row = spark.createDataFrame(
+        [(ROOT_ID, [], 0, 0)], "cid string, intent array<string>, size int, n_exact long"
+    )
+    intents = (
+        intents.unionByName(root_row)
+        .groupBy("cid")
+        .agg(
+            F.first("intent").alias("intent"),
+            F.max("size").alias("size"),
+            F.sum("n_exact").alias("n_exact"),
         )
-        intents = intents.unionByName(root_row)
+        .select("cid", "intent", "size", "n_exact")
+    )
 
     pairs = subsumption_pairs(intents)
     w = Window.partitionBy("desc_cid").orderBy(F.desc("anc_size"), F.asc("anc_cid"))
