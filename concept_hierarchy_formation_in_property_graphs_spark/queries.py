@@ -1203,6 +1203,35 @@ def pl_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_surfaces(surfaces, threshold=0.55)
 
 
+@_register("mm_decode_assets")
+def mm_decode_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary assets → typed metadata through
+    mapInPandas (codec stubbed; schema/batch shape real)."""
+    from .operators.multimodal import decode_assets, generate_assets_df
+
+    return decode_assets(generate_assets_df(spark, 120))
+
+
+@_register("mm_feature_ann")
+def mm_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal features → cosine top-k ANN (the embedding column from
+    extract_features feeds similarity search unchanged)."""
+    from .operators.multimodal import extract_features, generate_assets_df
+
+    emb = extract_features(generate_assets_df(spark, 120)).withColumnRenamed(
+        "asset_id", "vec_id"
+    )
+    return cosine_topk_bruteforce(emb, [0, 1, 2], k=5)
+
+
+@_register("mm_frame_sample")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per every-Nth frame per video asset."""
+    from .operators.multimodal import frame_sample, generate_assets_df
+
+    return frame_sample(generate_assets_df(spark, 120), every_n=25)
+
+
 @_register("pl_two_phase_hierarchy")
 def pl_two_phase_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 two-phase summary pipeline (`algos/PropertyGraphCobweb.java:
