@@ -33,8 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     edges = _q.tpch_edges(spark, sf_dir)
-    nodes = _q._graph_nodes(edges)
-    cs = characteristic_sets(nodes, edges)
+    cs = characteristic_sets(None, edges)
     h = build_hierarchy(
         cs.select(F.col("id").alias("instance_id"), F.col("rel_types").alias("intent"))
     )

@@ -63,9 +63,14 @@ def salted_dim_join(fact: DataFrame, dim: DataFrame, key: str,
     return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")
 
 
-def structural_features(nodes: DataFrame, edges: DataFrame,
+def structural_features(nodes: DataFrame | None, edges: DataFrame,
                         salt: int | None = None) -> DataFrame:
-    """F2 for every node id in ``nodes`` (isolated nodes get 0s)."""
+    """F2 for every node id in ``nodes`` (isolated nodes get 0s).
+
+    nodes=None means the node set IS the edge endpoints — skips the
+    endpoints-distinct shuffle and the outer join (every endpoint has a
+    degree row already), the common case when the graph came from triples.
+    """
     degs = degrees(edges)
     inc = incidence(edges)
     dim = degs.select(
@@ -94,6 +99,8 @@ def structural_features(nodes: DataFrame, edges: DataFrame,
         (F.col("out_deg") + F.coalesce("tno", F.lit(0))).alias("EgoNetOutgoingEdges"),
         (F.col("in_deg") + F.coalesce("tni", F.lit(0))).alias("EgoNetIncomingEdges"),
     )
+    if nodes is None:
+        return feats
     return (
         nodes.select("id")
         .join(feats, "id", "left")
@@ -107,11 +114,13 @@ def structural_features(nodes: DataFrame, edges: DataFrame,
     )
 
 
-def characteristic_sets(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def characteristic_sets(nodes: DataFrame | None, edges: DataFrame) -> DataFrame:
     """F3: (id, rel_types ARRAY<STRING> sorted) — the FCA intent column.
 
     ``array_sort`` makes the set canonical so it can serve directly as a
-    groupBy key in the lattice stage.
+    groupBy key in the lattice stage. nodes=None ⇒ node set = edge
+    endpoints (skips the distinct + outer join; isolated nodes can't
+    exist then).
     """
     inc_types = edges.select(F.col("src").alias("id"), "rel_type").union(
         edges.select(F.col("dst").alias("id"), "rel_type")
@@ -119,6 +128,8 @@ def characteristic_sets(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     cs = inc_types.groupBy("id").agg(
         F.array_sort(F.collect_set("rel_type")).alias("rel_types")
     )
+    if nodes is None:
+        return cs
     return (
         nodes.select("id")
         .join(cs, "id", "left")

@@ -351,7 +351,7 @@ def kg_structural_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 `extractStructuralFeatures` (`algos/PropertyGraphCobweb.java:394-431`)
     — undirected incidence, integer-division AverageNeighbourDegree."""
     edges = tpch_edges(spark, sf_dir)
-    return structural_features(_graph_nodes(edges), edges)
+    return structural_features(None, edges)
 
 
 @_register(
@@ -365,7 +365,7 @@ def kg_characteristic_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 `extractCharacteristicSet` (`algos/PropertyGraphCobweb.java:250-258`)
     — the FCA intent column, canonicalized to a sorted joined string."""
     edges = tpch_edges(spark, sf_dir)
-    return characteristic_sets(_graph_nodes(edges), edges).select(
+    return characteristic_sets(None, edges).select(
         "id", F.concat_ws(",", "rel_types").alias("rel_types")
     )
 
@@ -384,7 +384,7 @@ def kg_concept_intents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concept formation: one concept per distinct intent with its extent
     size (the deterministic replacement for O1/O3, SURVEY §7)."""
     edges = tpch_edges(spark, sf_dir)
-    cs = characteristic_sets(_graph_nodes(edges), edges)
+    cs = characteristic_sets(None, edges)
     return (
         cs.select(F.concat_ws(",", "rel_types").alias("cid"), F.size("rel_types").alias("size"))
         .groupBy("cid", "size")
@@ -430,7 +430,7 @@ def kg_concept_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsumption: parent = most specific proper subsumer (rarest-item
     candidate join, `operators/concepts.subsumption_pairs`)."""
     edges = tpch_edges(spark, sf_dir)
-    cs = characteristic_sets(_graph_nodes(edges), edges)
+    cs = characteristic_sets(None, edges)
     intents = (
         cs.select(
             F.array_sort("rel_types").alias("intent"),
@@ -509,7 +509,7 @@ def kg_concept_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.concepts import RESIDUAL_SUFFIX, SEP, build_hierarchy
 
     edges = tpch_edges(spark, sf_dir)
-    cs = characteristic_sets(_graph_nodes(edges), edges)
+    cs = characteristic_sets(None, edges)
     h = build_hierarchy(
         cs.select(F.col("id").alias("instance_id"), F.col("rel_types").alias("intent"))
     )
@@ -529,7 +529,7 @@ def kg_concept_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _node_attr_frames(spark: SparkSession, sf_dir: str):
     """Shared prep for the EAP/CU queries: per-node (cid, kind, outdeg)."""
     edges = tpch_edges(spark, sf_dir)
-    cs = characteristic_sets(_graph_nodes(edges), edges)
+    cs = characteristic_sets(None, edges)
     degs = degrees(edges)
     inst = (
         cs.select("id", F.concat_ws(",", "rel_types").alias("cid"))
@@ -724,7 +724,7 @@ def kg_concept_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.concepts import build_hierarchy
 
     edges = tpch_edges(spark, sf_dir)
-    cs = characteristic_sets(_graph_nodes(edges), edges)
+    cs = characteristic_sets(None, edges)
     h = build_hierarchy(
         cs.select(F.col("id").alias("instance_id"), F.col("rel_types").alias("intent"))
     )
