@@ -35,6 +35,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source — the reference's file input
+    (`src/main/python/data_loader.py:19-27`, APOC JSON `load_yelp.cql:2`).
+
+    Pass an explicit schema at scale: schema inference is a full extra
+    pass over the data.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_pages(
     spark: SparkSession,
     path: str | None = None,
