@@ -52,6 +52,8 @@ def run_pipeline(
     n_entities: int = 500,
     lang: str = "en",
     parallelism: int | None = None,
+    open_vocab: bool = False,
+    mention_entities: int | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns stage DataFrames.
 
@@ -78,24 +80,41 @@ def run_pipeline(
         ).select("url", "text"),
     )
 
-    # S2 — gazetteer mention detection + relation patterns
+    # S2 — gazetteer mention detection + relation patterns. The detector
+    # vocabulary (mention_entities) may exceed the link KB (n_entities) —
+    # the open-vocabulary case where recognition outruns the knowledge
+    # base; S3's CC canonicalizer absorbs the difference.
     s2 = runner.stage(
         "s2_mentions",
         lambda: extract_mention_pairs(
-            _spread(s1), all_surfaces(n_entities), phrase_map()
+            _spread(s1), all_surfaces(mention_entities or n_entities), phrase_map()
         ),
     )
 
-    # S3 — linking: exact gazetteer dimension join (broadcast). The
-    # LSH+CC canonicalizer (operators/linking.py) covers open-vocabulary
-    # surfaces; with a closed gazetteer the exact join is the whole story.
-    # localCheckpoint so the two broadcast copies (subj/obj side) don't
-    # each re-evaluate the dimension plan.
-    links = (
-        gazetteer_df(spark, n_entities)
-        .select("surface", "canonical")
-        .localCheckpoint(eager=True)
-    )
+    # S3 — linking. Exact gazetteer dimension join (broadcast) resolves
+    # known surfaces; with open_vocab=True the residual surfaces go
+    # through the north-star canonicalizer — MinHash-LSH blocking over
+    # char shingles + iterative connected components — and join the link
+    # dimension with their CC-canonical form (lexicographic component
+    # minimum). localCheckpoint so the two broadcast copies (subj/obj
+    # side) don't each re-evaluate the dimension plan.
+    def build_links() -> DataFrame:
+        links = gazetteer_df(spark, n_entities).select("surface", "canonical")
+        if open_vocab:
+            from ..operators.linking import canonicalize_surfaces
+
+            seen = (
+                s2.select(F.col("subj_surface").alias("surface"))
+                .union(s2.select(F.col("obj_surface").alias("surface")))
+                .distinct()
+            )
+            unknown = seen.join(links.select("surface"), "surface", "left_anti")
+            extra = canonicalize_surfaces(unknown, threshold=0.5)
+            links = links.unionByName(extra)
+        return links
+
+    s3_links = runner.stage("s3_links", build_links)
+    links = s3_links.localCheckpoint(eager=True)
     s3 = runner.stage(
         "s3_triples", lambda: triples_from_mention_pairs(s2, links)
     )

@@ -1248,6 +1248,27 @@ def pl_two_phase_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("pl_open_vocab_triples")
+def pl_open_vocab_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-vocabulary S3: detector recognizes 80 entities, the link KB
+    only 60 — residual surfaces canonicalize via MinHash-LSH blocking +
+    iterative connected components (north-star path; rows-only: iterative)."""
+    import shutil
+    import tempfile
+
+    from .plans.pipeline import run_pipeline
+
+    pages = _fixture_pages(spark, 250, 80)
+    wd = tempfile.mkdtemp(prefix="chf_ovq_")
+    try:
+        out = run_pipeline(spark, pages, wd, n_entities=60, open_vocab=True,
+                           mention_entities=80)
+        triples = out["triples"].localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return triples
+
+
 @_register("pl_concept_hierarchy")
 def pl_concept_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline flagship: pages → triples → graph → characteristic sets

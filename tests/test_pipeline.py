@@ -87,3 +87,37 @@ def test_pipeline_deterministic_across_partition_counts(spark):
     finally:
         shutil.rmtree(wd1, ignore_errors=True)
         shutil.rmtree(wd2, ignore_errors=True)
+
+
+def test_open_vocab_canonicalization(spark):
+    """Out-of-gazetteer surfaces flow through MinHash-LSH + CC and collapse
+    aliases to one canonical form (the north-star S3 path)."""
+    wd = tempfile.mkdtemp(prefix="chf_ov_")
+    try:
+        # pages embed 60 entities; the pipeline only knows the first 45
+        pages = pages_spark_df(spark, 400, n_entities=60)
+        out = run_pipeline(spark, pages, wd, n_entities=45, open_vocab=True,
+                           mention_entities=60)
+        links = {r["surface"]: r["canonical"]
+                 for r in spark.read.parquet(wd + "/s3_links").collect()}
+        # some unknown entity with both long aliases seen in the corpus
+        # must collapse to one canonical via CC
+        candidates = [
+            (f"Acme{k} Corporation", f"Acme{k} Corp.") for k in range(45, 60)
+        ] + [
+            (f"Konstanz{k} University", f"Konstanz{k} Univ.") for k in range(45, 60)
+        ]
+        pairs = [(a, b) for a, b in candidates if a in links and b in links]
+        assert pairs, "corpus too small: no unknown alias pair observed"
+        for a, b in pairs:
+            assert links[a] == links[b], (a, b)
+        # known entities keep their gazetteer canonical
+        assert links["Acme0 Corp."] == "Acme0 Corporation"
+        # triples still flow and reference canonical forms only
+        triples = out["triples"]
+        assert triples.count() > 0
+        surf = {r["canonical"] for r in spark.read.parquet(wd + "/s3_links").collect()}
+        bad = triples.where(~triples.subj.isin(list(surf))).count()
+        assert bad == 0
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
