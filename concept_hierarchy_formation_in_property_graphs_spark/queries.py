@@ -685,6 +685,39 @@ def kg_ablation_label_char(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kg_galois_closure",
+    f"""
+WITH RECURSIVE {_EDGES_SQL.strip()}, {_CS_SQL.strip()},
+intents AS (SELECT DISTINCT string_split(cid, ',') AS intent FROM cs),
+clos AS (
+  SELECT intent FROM intents
+  UNION
+  SELECT list_sort(list_intersect(c.intent, i.intent))
+  FROM clos c, intents i
+  WHERE len(list_intersect(c.intent, i.intent)) > 0
+)
+SELECT array_to_string(intent, ',') AS cid FROM clos
+""",
+)
+def kg_galois_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Galois/FCA intersection closure of the characteristic-set intents
+    (the thesis's cited principled construction; `operators/concepts.
+    galois_close_intents`). The DuckDB twin is the recursive-CTE fixpoint
+    of pairwise intersections."""
+    from .operators.concepts import galois_close_intents
+
+    edges = tpch_edges(spark, sf_dir)
+    cs = characteristic_sets(None, edges)
+    intents = (
+        cs.select(F.array_sort("rel_types").alias("intent"))
+        .distinct()
+        .withColumn("cid", F.concat_ws("\x1f", "intent"))
+    )
+    closed = galois_close_intents(intents.select("cid", "intent"))
+    return closed.select(F.concat_ws(",", "intent").alias("cid"))
+
+
+@_register(
     "kg_concept_factor",
     f"""
 WITH RECURSIVE {_PARENTS_SQL.strip()},
@@ -1258,7 +1291,7 @@ def pl_open_vocab_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .plans.pipeline import run_pipeline
 
-    pages = _fixture_pages(spark, 250, 80)
+    pages = _fixture_pages(spark, 150, 80)
     wd = tempfile.mkdtemp(prefix="chf_ovq_")
     try:
         out = run_pipeline(spark, pages, wd, n_entities=60, open_vocab=True,
