@@ -342,8 +342,8 @@ SELECT degs.id,
        CASE WHEN deg = 0 THEN 0
             ELSE CAST(floor(COALESCE(tnd, 0) / deg) AS BIGINT)
        END AS "AverageNeighbourDegree",
-       out_deg + COALESCE(tno, 0) AS "EgoNetOutgoingEdges",
-       in_deg + COALESCE(tni, 0) AS "EgoNetIncomingEdges"
+       CAST(out_deg + COALESCE(tno, 0) AS BIGINT) AS "EgoNetOutgoingEdges",
+       CAST(in_deg + COALESCE(tni, 0) AS BIGINT) AS "EgoNetIncomingEdges"
 FROM degs LEFT JOIN nbr ON degs.id = nbr.id
 """,
 )
@@ -494,7 +494,7 @@ counts AS (
   GROUP BY c.anc
 )
 SELECT t.cid, t.parent_cid, d.depth,
-       COALESCE(k.cnt, 0) AS count, t.is_leaf
+       CAST(COALESCE(k.cnt, 0) AS BIGINT) AS count, t.is_leaf
 FROM tree0 t
 JOIN depths d ON t.cid = d.cid
 LEFT JOIN counts k ON t.cid = k.cid
