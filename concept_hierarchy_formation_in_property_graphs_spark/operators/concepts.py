@@ -34,8 +34,12 @@ iteration localCheckpoint'ed to keep lineage O(1).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 SEP = "\x1f"
 RESIDUAL_SUFFIX = "\x1e*"
@@ -88,43 +92,91 @@ def subsumption_pairs(intents: DataFrame) -> DataFrame:
     )
 
 
-def galois_close_intents(intents: DataFrame, max_rounds: int = 12) -> DataFrame:
+def galois_close_intents(intents: DataFrame, max_rounds: int = 32,
+                         max_item_freq: int = 0) -> DataFrame:
     """Close a distinct-intent table under pairwise intersection (the
     Galois/FCA concept closure — Godin et al., cited by the thesis as the
     principled construction, `doc/thesis/06-conclusions.tex:13`).
 
     Internal concepts of a planted taxonomy are exactly the intersections
     of observed leaf intents, so closure is what turns a flat exact-intent
-    lattice into the full tree. Iterates rounds of candidate-pair
-    intersection until fixpoint; candidates pair only through a shared
-    item (an empty intersection is always the root, never new), and the
-    table being closed is the CONCEPT table (≪ instances), localCheckpoint
-    per round keeps lineage O(1).
+    lattice into the full tree.
+
+    Every closed set is an intersection of a subset of GENERATORS, and any
+    such intersection is reachable one generator at a time — so each round
+    intersects only the previous round's NEW sets against the (fixed,
+    small) generator table, never known×known. Pair fan-out per round is
+    O(|frontier|·|generators|) through shared items instead of the growing
+    O(|closed|²); the fixpoint is identical (same set as the DuckDB
+    recursive-CTE twin, `queries.py kg_galois_closure`). Candidates pair
+    only through a shared item, so intersections are always nonempty; the
+    tables are CONCEPT-sized (≪ instances) and localCheckpoint per round
+    keeps lineage O(1). Rounds needed ≤ max intent size (each chain step
+    strictly shrinks the set); a non-converged loop is logged.
+
+    ``max_item_freq`` > 0 additionally drops items occurring in more than
+    that many generators from PAIR GENERATION (not from the intents) — the
+    hub-item guard for 100×-cardinality inputs. Pairs sharing any other
+    item still form; only intersections reachable exclusively through hub
+    items are lost, and the drop is logged. Default 0 = exact closure.
 
     intents: (cid, intent) distinct. Returns the closed (cid, intent) set.
     """
-    known = intents.select("cid", "intent").localCheckpoint(eager=True)
+    gen = intents.select("cid", "intent").localCheckpoint(eager=True)
+    gen_items = gen.select(
+        F.col("cid").alias("g_cid"),
+        F.col("intent").alias("g_intent"),
+        F.explode("intent").alias("item"),
+    )
+    if max_item_freq > 0:
+        hot = (
+            gen_items.groupBy("item")
+            .agg(F.count("*").alias("_f"))
+            .where(F.col("_f") > max_item_freq)
+            .select("item")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            _log.warning(
+                "galois_close_intents: excluding %d hub items "
+                "(> %d generators) from pair generation",
+                n_hot, max_item_freq,
+            )
+            gen_items = gen_items.join(F.broadcast(hot), "item", "left_anti")
+    gen_items = gen_items.localCheckpoint(eager=True)
+
+    known = gen
+    frontier = gen
+    converged = False
     for _ in range(max_rounds):
-        items = known.select("cid", "intent", F.explode("intent").alias("item"))
-        pairs = (
-            items.alias("a")
-            .join(items.alias("b"), "item")
-            .where(F.col("a.cid") < F.col("b.cid"))
+        f_items = frontier.select(
+            "cid", "intent", F.explode("intent").alias("item")
+        )
+        cand = (
+            f_items.join(gen_items, "item")
+            .where(F.col("cid") != F.col("g_cid"))
             .select(
                 F.array_sort(
-                    F.array_intersect(F.col("a.intent"), F.col("b.intent"))
+                    F.array_intersect(F.col("intent"), F.col("g_intent"))
                 ).alias("intent")
             )
             .dropDuplicates(["intent"])
             .withColumn("cid", F.concat_ws(SEP, "intent"))
+            .select("cid", "intent")
         )
-        new = pairs.join(known.select("cid"), "cid", "left_anti").select(
-            "cid", "intent"
+        new = cand.join(known.select("cid"), "cid", "left_anti").localCheckpoint(
+            eager=True
         )
-        new = new.localCheckpoint(eager=True)
         if new.limit(1).count() == 0:
+            converged = True
             break
         known = known.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    if not converged:
+        _log.warning(
+            "galois_close_intents: fixpoint not reached in %d rounds; "
+            "closure may be partial", max_rounds,
+        )
     return known
 
 
@@ -245,6 +297,35 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
     if n_concepts <= driver_threshold:
         concepts, closure = _tree_metadata_driver(spark, parents, root_seed)
         return {"concepts": concepts, "assignments": assignments, "closure": closure}
+
+    # Prune zero-count subtrees BEFORE labeling, exactly as the driver pass
+    # does (a concept survives iff some descendant-or-self has exact-intent
+    # instances), so both branches yield identical concepts/labels/closure.
+    # keep = exact-count concepts ∪ their ancestors ∪ roots, computed by
+    # O(tree depth) parent hops over the concept-sized edge table. Only
+    # Galois closure can introduce zero-count concepts, so skip otherwise.
+    if galois:
+        keep = parents.where(
+            (F.col("n_exact") > 0) | F.col("parent_id").isNull()
+        ).select("cid").localCheckpoint(eager=True)
+        parent_edges = (
+            parents.select("cid", "parent_id")
+            .where(F.col("parent_id").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        hop = keep
+        for _ in range(max_depth):
+            hop = (
+                parent_edges.join(hop, "cid")
+                .select(F.col("parent_id").alias("cid"))
+                .distinct()
+                .join(keep, "cid", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if hop.limit(1).count() == 0:
+                break
+            keep = keep.unionByName(hop).localCheckpoint(eager=True)
+        parents = parents.join(keep, "cid").localCheckpoint(eager=True)
 
     # depth / path labels / ancestor paths in one level-by-level sweep (T3)
     frontier = (

@@ -16,10 +16,14 @@ Everything is DataFrame ops + the portable md5 hash family
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import logging
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, perm_coeffs, permuted
+
+_log = logging.getLogger(__name__)
 
 
 def link_exact(surfaces: DataFrame, gazetteer: DataFrame) -> DataFrame:
@@ -56,12 +60,24 @@ def minhash_signature(df: DataFrame, text_col: str, out_col: str = "sig",
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "sig",
-                        num_perm: int = 16, bands: int = 4) -> DataFrame:
+                        num_perm: int = 16, bands: int = 4,
+                        max_bucket: int = 0) -> DataFrame:
     """Band the signature; ids sharing a band bucket become candidate pairs.
 
     The self-join runs on (band_idx, band_hash) — high-cardinality keys, so
     it hash-partitions evenly; AQE skew-join splits any hot bucket (a giant
-    cluster of near-identical strings is the skew case here).
+    cluster of near-identical strings is the skew case here). ``max_bucket``
+    > 0 bounds the quadratic: buckets larger than the cap are CHAINED
+    instead of self-joined — sorted by id, each member pairs only with its
+    successor (B−1 pairs instead of B·(B−1)/2). Unlike the dedup guard
+    (`dedup.minhash_near_dup_pairs`), which drops hot buckets outright,
+    chaining keeps every bucket member CONNECTED, which is all the
+    downstream connected-components needs — a boilerplate mega-cluster of
+    near-identical surfaces still collapses to one canonical form, at
+    linear rather than quadratic cost. (Chain pairs still pass through the
+    exact-Jaccard verify; sorted neighbours in a near-identical cluster are
+    the highest-similarity pairs, so verified connectivity is preserved.)
+    The number of chained buckets is logged.
     """
     rows_per_band = num_perm // bands
     banded = df.select(
@@ -73,14 +89,37 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "sig",
             ])
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket > 0:
+        sizes = banded.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("_bsz")
+        )
+        n_hot = sizes.where(F.col("_bsz") > max_bucket).count()
+        if n_hot:
+            _log.warning(
+                "lsh_candidate_pairs: chaining %d buckets larger than %d "
+                "instead of self-joining them", n_hot, max_bucket,
+            )
+        sized = banded.join(sizes, ["band_idx", "band_hash"])
+        banded = sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
+        hot = sized.where(F.col("_bsz") > max_bucket).drop("_bsz")
+        w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+        chained = (
+            hot.withColumn("_prev", F.lag(id_col).over(w))
+            .where(F.col("_prev").isNotNull())
+            .select(F.col("_prev").alias("src"), F.col(id_col).alias("dst"))
+        )
+    else:
+        chained = None
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
-        .distinct()
     )
+    if chained is not None:
+        pairs = pairs.unionByName(chained)
+    return pairs.distinct()
 
 
 def jaccard_verify(pairs: DataFrame, df: DataFrame, id_col: str, text_col: str,
@@ -110,6 +149,14 @@ def connected_components(edges: DataFrame, spark: SparkSession | None = None,
     each round is one shuffle; ``localCheckpoint`` truncates lineage so plan
     size stays O(1) across iterations — the standard Spark pattern for
     iterative graph algorithms without GraphX.
+
+    Each round does (1) neighbour-min propagation and (2) path halving
+    (label ← label's label, the pointer-doubling step of large/small-star
+    style CC), so convergence is O(log diameter) rounds rather than
+    O(diameter) — a pathological 100k-member chain needs ~2·17 rounds, not
+    100k. Rather than silently truncate, the round count is logged and
+    hitting ``max_iter`` without convergence raises (partial components
+    would silently merge fewer aliases).
     """
     sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
@@ -119,7 +166,9 @@ def connected_components(edges: DataFrame, spark: SparkSession | None = None,
         .withColumn("component", F.col("id"))
     )
     sym = sym.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
         # candidate = min(own, min over neighbours' labels)
         nbr = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -134,7 +183,26 @@ def connected_components(edges: DataFrame, spark: SparkSession | None = None,
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # path halving: jump to the label's own label (labels are node ids,
+        # monotonically non-increasing within a component) — turns the
+        # O(diameter) propagation into O(log diameter)
+        new_labels = (
+            new_labels.join(
+                labels.select(
+                    F.col("id").alias("component"), F.col("component").alias("_grand")
+                ),
+                "component",
+                "left",
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_grand"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -144,12 +212,20 @@ def connected_components(edges: DataFrame, spark: SparkSession | None = None,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
+    _log.info("connected_components: converged in %d rounds", rounds)
     return labels
 
 
 def canonicalize_surfaces(surfaces: DataFrame, threshold: float = 0.6,
-                          num_perm: int = 16, bands: int = 16) -> DataFrame:
+                          num_perm: int = 16, bands: int = 16,
+                          max_bucket: int = 256) -> DataFrame:
     """surfaces(surface) → (surface, canonical) via LSH + CC.
 
     canonical = lexicographically smallest surface in each component
@@ -163,7 +239,9 @@ def canonicalize_surfaces(surfaces: DataFrame, threshold: float = 0.6,
     """
     uniq = surfaces.select("surface").distinct()
     with_sig = minhash_signature(uniq, "surface", num_perm=num_perm)
-    pairs = lsh_candidate_pairs(with_sig, "surface", num_perm=num_perm, bands=bands)
+    pairs = lsh_candidate_pairs(
+        with_sig, "surface", num_perm=num_perm, bands=bands, max_bucket=max_bucket
+    )
     verified = jaccard_verify(pairs, uniq, "surface", "surface", threshold)
     comps = connected_components(verified.select("src", "dst"))
     # component label is the min surface string already (labels are surfaces)

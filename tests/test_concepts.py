@@ -197,3 +197,75 @@ def test_hierarchy_deterministic_across_partitionings(spark):
     assert sorted(map(tuple, a["assignments"].collect())) == sorted(
         map(tuple, b["assignments"].collect())
     )
+
+
+def test_driver_vs_distributed_branch_parity_galois(spark):
+    """The ≤/> driver_threshold branches must agree bit-for-bit — including
+    pruning of zero-count Galois-added subtrees (the diamond {a,d} below is
+    closure-added but ends up childless and instance-free, so BOTH branches
+    must drop it) and the sibling label ranks that shift when it vanishes."""
+    rows = [
+        ("i1", ["a", "b", "c"]),
+        ("i2", ["a", "b", "d"]),
+        ("i3", ["a", "c", "d"]),
+        ("i4", ["a", "b"]),
+    ]
+    drv = build_hierarchy(_instances(spark, rows), galois=True)
+    dist = build_hierarchy(_instances(spark, rows), galois=True, driver_threshold=0)
+
+    ad = "a" + SEP + "d"
+    drv_ids = {r["concept_id"] for r in drv["concepts"].collect()}
+    assert ad not in drv_ids  # the zero-count diamond concept is pruned
+
+    for key in ("concepts", "assignments", "closure"):
+        a = sorted(map(tuple, drv[key].collect()))
+        b = sorted(map(tuple, dist[key].collect()))
+        assert a == b, f"branch divergence in {key}"
+    assert invariant_violations(dist["concepts"], dist["assignments"]) == {
+        "dup_instance": 0,
+        "assign_to_inner": 0,
+        "orphans": 0,
+        "partition_counts": 0,
+    }
+
+
+def test_driver_vs_distributed_branch_parity_random(spark):
+    rows = [
+        (f"i{k}", sorted({random.Random(1000 + k).choice("abcdef") for _ in range(4)}))
+        for k in range(80)
+    ]
+    drv = build_hierarchy(_instances(spark, rows), galois=True)
+    dist = build_hierarchy(_instances(spark, rows), galois=True, driver_threshold=0)
+    for key in ("concepts", "assignments", "closure"):
+        a = sorted(map(tuple, drv[key].collect()))
+        b = sorted(map(tuple, dist[key].collect()))
+        assert a == b, f"branch divergence in {key}"
+
+
+def test_galois_closure_equals_bruteforce_at_10x(spark):
+    """Generator-only intersection must reach the SAME fixpoint as the
+    known×known definition — validated against a brute-force Python closure
+    on a 10×-cardinality intent table (300 draws over a 12-item alphabet),
+    inside the normal test budget."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
+        galois_close_intents,
+    )
+
+    rnd = random.Random(7)
+    distinct = sorted({
+        tuple(sorted({rnd.choice("abcdefghijkl") for _ in range(5)}))
+        for _ in range(300)
+    })
+    df = _instances(
+        spark, [(SEP.join(t), list(t)) for t in distinct]
+    ).withColumnRenamed("instance_id", "cid")
+    got = {tuple(r["intent"]) for r in galois_close_intents(df).collect()}
+
+    closed = {frozenset(t) for t in distinct}
+    while True:
+        new = {a & b for a in closed for b in closed if a & b} - closed
+        if not new:
+            break
+        closed |= new
+    want = {tuple(sorted(s)) for s in closed}
+    assert got == want
