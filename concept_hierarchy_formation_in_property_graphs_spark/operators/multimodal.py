@@ -39,28 +39,33 @@ def _decode_stub(data: bytes, kind: str) -> dict:
 
     Raises for unknown kinds exactly as a real codec registry would;
     produces deterministic md5-derived pseudo-metadata so downstream
-    plumbing is testable byte-for-byte.
+    plumbing is testable byte-for-byte. The hash runs over the
+    lowercase-HEX rendering of the payload (not the raw bytes) so the
+    DuckDB oracle — whose ``md5()`` only accepts VARCHAR — can recompute
+    every value from the persisted parquet via ``md5(lower(hex(data)))``.
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for asset kind {kind!r}")
-    h = hashlib.md5(data).digest()
+    m = hashlib.md5(data.hex().encode()).hexdigest()
+    h0, h1 = int(m[0:2], 16), int(m[2:4], 16)
     if kind == "image":
-        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "channels": 3}
+        return {"width": 64 + h0 % 192, "height": 64 + h1 % 192, "channels": 3}
     if kind == "audio":
-        return {"sample_rate": 8000 * (1 + h[0] % 6), "n_samples": len(data) * 4,
-                "channels": 1 + h[1] % 2}
-    return {"fps": 24 + h[0] % 6, "n_frames": 1 + h[1], "width": 320, "height": 240}
+        return {"sample_rate": 8000 * (1 + h0 % 6), "n_samples": len(data) * 4,
+                "channels": 1 + h1 % 2}
+    return {"fps": 24 + h0 % 6, "n_frames": 1 + h1, "width": 320, "height": 240}
 
 
 def _features_stub(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """STUB feature extractor: dim floats derived from rolling md5 — the
+    """STUB feature extractor: dim floats derived from a rolling md5 chain
+    over the hex rendering (oracle-portable, see ``_decode_stub``) — the
     real model call (CLIP/wav2vec/...) drops in here unchanged."""
     out: list[float] = []
-    h = data
+    m = data.hex()
     while len(out) < dim:
-        h = hashlib.md5(h).digest()
-        for i in range(0, 16, 4):
-            u = int.from_bytes(h[i : i + 4], "little")
+        m = hashlib.md5(m.encode()).hexdigest()
+        for i in range(0, 32, 8):
+            u = int.from_bytes(bytes.fromhex(m[i : i + 8]), "little")
             out.append(round(u / 2**32 * 2.0 - 1.0, 4))
     return out[:dim]
 
@@ -125,14 +130,24 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
             rows = []
             for aid, kind, data in zip(pdf["asset_id"], pdf["kind"], pdf["data"]):
                 meta = _decode_stub(bytes(data), kind)
+                hx = bytes(data).hex()
                 for f in range(0, int(meta["n_frames"]), every_n):
                     rows.append((int(aid), f, hashlib.md5(
-                        bytes(data) + f.to_bytes(4, "little")).hexdigest()))
+                        f"{hx}|{f}".encode()).hexdigest()))
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_key"])
 
     return vids.mapInPandas(
         run, schema="asset_id long, frame_idx int, frame_key string"
     )
+
+
+def persist_assets_parquet(spark, path: str, n: int = 120, seed: int = 42) -> str:
+    """Write the deterministic asset fixture to parquet (overwrite) so the
+    DuckDB oracle twins can recompute decode/feature/frame values from the
+    EXACT same rows via ``read_parquet``. Overwritten on every call — 120
+    tiny rows — so the oracle can never read a stale fixture."""
+    generate_assets_df(spark, n, seed).write.mode("overwrite").parquet(path)
+    return path
 
 
 def generate_assets_df(spark, n: int, seed: int = 42) -> DataFrame:
