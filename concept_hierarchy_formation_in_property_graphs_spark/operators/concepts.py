@@ -191,18 +191,38 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
       assignments(instance_id, concept_id)   # leaf concepts only
       closure(desc, anc)                     # reflexive-transitive
 
-    The heavy relational work (intent dedup, subsumption self-join,
-    instance assignment) is distributed. The tree-METADATA pass (depth,
-    path label, closure, subtree counts) runs driver-side when the concept
-    table is ≤ ``driver_threshold`` rows — #concepts = #distinct intents,
-    orders of magnitude below #instances even at corpus scale, and the
-    driver pass replaces ~8 shuffle rounds of the level-by-level loop with
-    one collect + one createDataFrame. Above the threshold the level loop
-    (localCheckpoint per level) takes over.
+    The heavy relational work (intent dedup, instance assignment) is
+    distributed. The whole CONCEPT-side computation — Galois closure,
+    subsumption, residual insertion, depth/label/closure/count — runs
+    driver-side when the distinct-intent table is ≤ ``driver_threshold``
+    rows: #concepts = #distinct intents, orders of magnitude below
+    #instances even at corpus scale, and the driver pass costs ONE Spark
+    job (scan + exact-intent aggregate + bounded collect) where the
+    distributed path pays ~12 AQE stage launches of pure scheduling
+    overhead on concept-sized data. Above the threshold the distributed
+    path (subsumption self-join, level-by-level label sweep,
+    localCheckpoint per round) takes over; the two branches are
+    bit-identical (enforced by parity tests).
     """
+    spark = instances.sparkSession
     inst = _canonical_intents(instances)
     exact = inst.groupBy("cid", "intent").agg(F.count("*").alias("n_exact"))
-    exact = exact.withColumn("size", F.size("intent")).localCheckpoint(eager=True)
+    exact = exact.withColumn("size", F.size("intent"))
+
+    # ONE fused job decides the branch AND feeds the driver pass: collect
+    # at most threshold+1 concept rows — if we got ≤ threshold, that IS the
+    # full exact-intent table (limit short-circuits the scan otherwise)
+    probe = (
+        exact.limit(driver_threshold + 1).collect()
+        if driver_threshold > 0
+        else None
+    )
+    if probe is not None and len(probe) <= driver_threshold:
+        return _hierarchy_driver(spark, inst, probe, root_seed, galois)
+
+    # lazy checkpoint: materialized by the first downstream job, then
+    # reused — truncates lineage without a separate synchronous job
+    exact = exact.localCheckpoint(eager=False)
 
     intents = exact.select("cid", "intent", "size", "n_exact")
     if galois:
@@ -249,7 +269,10 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
             .otherwise(F.coalesce("parent_id", F.lit(ROOT_ID)))
             .alias("parent_id"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: the subsumption join runs ONCE (materialized by the eager
+        # residual-union checkpoint below) even though three downstream
+        # branches reference it
+        .localCheckpoint(eager=False)
     )
 
     # residual leaves: concept has children AND exact-intent instances
@@ -291,12 +314,6 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
             "instance_id", F.coalesce("res_cid", "cid").alias("concept_id")
         )
     )
-
-    spark = instances.sparkSession
-    n_concepts = parents.count()
-    if n_concepts <= driver_threshold:
-        concepts, closure = _tree_metadata_driver(spark, parents, root_seed)
-        return {"concepts": concepts, "assignments": assignments, "closure": closure}
 
     # Prune zero-count subtrees BEFORE labeling, exactly as the driver pass
     # does (a concept survives iff some descendant-or-self has exact-intent
@@ -407,14 +424,121 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
     return {"concepts": concepts, "assignments": assignments, "closure": closure}
 
 
-def _tree_metadata_driver(spark, parents: DataFrame, root_seed: str):
+def _hierarchy_driver(spark, inst: DataFrame, exact_rows, root_seed: str,
+                      galois: bool) -> dict[str, DataFrame]:
+    """Concept-side computation on the collected exact-intent table —
+    byte-identical semantics to the distributed path (see the parity tests
+    in tests/test_concepts.py), at the cost of ONE already-paid Spark job.
+
+    Pure-Python mirrors of the distributed steps:
+      * Galois closure: frontier×generators intersection fixpoint
+        (= ``galois_close_intents``)
+      * parent: most specific proper subsumer, ties → smallest cid,
+        candidates through each ancestor's globally rarest item
+        (= ``subsumption_pairs`` + the best-parent window)
+      * residual leaves, zero-count pruning, labels/depth/closure/counts
+        via ``_tree_metadata_driver``
+    Only ``assignments`` stays distributed: instance → concept with the
+    (tiny, broadcast) residual remap.
+    """
+    intent_of: dict[str, tuple] = {}
+    n_exact: dict[str, int] = {}
+    for r in exact_rows:
+        cid = r["cid"]
+        intent_of[cid] = tuple(r["intent"])
+        n_exact[cid] = n_exact.get(cid, 0) + int(r["n_exact"])
+
+    if galois:
+        gens = {frozenset(v) for v in intent_of.values() if v}
+        closed = {frozenset(v) for v in intent_of.values()}
+        frontier = closed
+        while frontier:
+            new = set()
+            for f in frontier:
+                for g in gens:
+                    x = f & g
+                    if x and x not in closed:
+                        new.add(x)
+            closed |= new
+            frontier = new
+        for s in closed:
+            t = tuple(sorted(s))
+            cid = SEP.join(t)
+            if cid not in intent_of:
+                intent_of[cid] = t
+                n_exact[cid] = 0
+
+    if ROOT_ID not in intent_of:
+        intent_of[ROOT_ID] = ()
+        n_exact.setdefault(ROOT_ID, 0)
+
+    # most specific proper subsumer via rarest-item candidate probing
+    freq: dict[str, int] = {}
+    for t in intent_of.values():
+        for item in t:
+            freq[item] = freq.get(item, 0) + 1
+    by_rare: dict[str, list[str]] = {}
+    for cid, t in intent_of.items():
+        if t:
+            rare = min(t, key=lambda i: (freq[i], i))
+            by_rare.setdefault(rare, []).append(cid)
+    parent: dict[str, str | None] = {}
+    for cid, t in intent_of.items():
+        if cid == ROOT_ID:
+            parent[cid] = None
+            continue
+        mine = set(t)
+        best: tuple[int, str] | None = None
+        for item in t:
+            for anc in by_rare.get(item, ()):
+                ta = intent_of[anc]
+                if len(ta) < len(t) and set(ta) <= mine:
+                    key = (-len(ta), anc)
+                    if best is None or key < best:
+                        best = key
+        parent[cid] = best[1] if best is not None else ROOT_ID
+
+    # residual leaves: concept has children AND exact-intent instances
+    inner = {p for p in parent.values() if p is not None}
+    res_pairs: list[tuple[str, str]] = []
+    for cid in [c for c in intent_of if c in inner and n_exact.get(c, 0) > 0]:
+        rcid = cid + RESIDUAL_SUFFIX
+        intent_of[rcid] = intent_of[cid]
+        n_exact[rcid] = n_exact[cid]
+        n_exact[cid] = 0
+        parent[rcid] = cid
+        res_pairs.append((cid, rcid))
+
+    rows = [
+        {"cid": c, "intent": list(intent_of[c]), "n_exact": n_exact[c],
+         "parent_id": parent[c]}
+        for c in intent_of
+    ]
+    concepts, closure = _tree_metadata_driver(spark, rows, root_seed)
+
+    if res_pairs:
+        res_map = F.broadcast(
+            spark.createDataFrame(res_pairs, "cid string, res_cid string")
+        )
+        assignments = inst.join(res_map, "cid", "left").select(
+            "instance_id", F.coalesce("res_cid", "cid").alias("concept_id")
+        )
+    else:
+        assignments = inst.select(
+            "instance_id", F.col("cid").alias("concept_id")
+        )
+    return {"concepts": concepts, "assignments": assignments, "closure": closure}
+
+
+def _tree_metadata_driver(spark, rows, root_seed: str):
     """Depth/label/closure/count pass on the collected concept table.
 
     Pure-Python BFS over the (small) concept adjacency — the same labeling
     rule as T3 (`util/TreeUtils.java:82-90`): child rank = ascending cid,
-    label = parent label + rank. Returns (concepts, closure) DataFrames.
+    label = parent label + rank. ``rows`` is the already-collected parents
+    table (cid, intent, n_exact, parent_id). Returns (concepts, closure)
+    DataFrames.
     """
-    rows = parents.select("cid", "intent", "n_exact", "parent_id").collect()
     info = {r["cid"]: (r["intent"], r["n_exact"], r["parent_id"]) for r in rows}
     children: dict[str, list[str]] = {}
     roots = []

@@ -176,3 +176,108 @@ def edge_precision_recall(got: set[tuple[str, str]],
                           truth: set[tuple[str, str]]) -> tuple[float, float]:
     tp = len(got & truth)
     return tp / max(len(got), 1), tp / max(len(truth), 1)
+
+
+# ---------------------------------------------------------------------------
+# P8 — tree edit distance (Zhang-Shasha) over bracket trees
+# ---------------------------------------------------------------------------
+
+
+def _parse_bracket(s: str) -> tuple[str, list]:
+    """`{root{kid}{kid{grandkid}}}` → (label, [children]) — the format
+    both `to_bracket` and the reference's apted.jar input use
+    (`tree_edit_distance.py:53-124`)."""
+    pos = 0
+
+    def parse() -> tuple[str, list]:
+        nonlocal pos
+        if s[pos] != "{":
+            raise ValueError(f"expected '{{' at {pos} in {s!r}")
+        pos += 1
+        start = pos
+        while s[pos] not in "{}":
+            pos += 1
+        label = s[start:pos]
+        kids = []
+        while s[pos] == "{":
+            kids.append(parse())
+        if s[pos] != "}":
+            raise ValueError(f"expected '}}' at {pos} in {s!r}")
+        pos += 1
+        return (label, kids)
+
+    tree = parse()
+    if pos != len(s):
+        raise ValueError(f"trailing input at {pos} in {s!r}")
+    return tree
+
+
+def _postorder(tree: tuple[str, list]) -> tuple[list[str], list[int]]:
+    """(labels, leftmost-leaf-descendant index) in postorder, iteratively
+    (planted taxonomies can be deeper than the recursion limit)."""
+    labels: list[str] = []
+    lml: list[int] = []
+
+    def visit(node) -> int:
+        first = None
+        for kid in node[1]:
+            i = visit(kid)
+            if first is None:
+                first = i
+        idx = len(labels)
+        labels.append(node[0])
+        lml.append(first if first is not None else idx)
+        return lml[idx]
+
+    visit(tree)
+    return labels, lml
+
+
+def tree_edit_distance(bracket_a: str, bracket_b: str) -> int:
+    """Ordered tree edit distance with unit costs (insert = delete =
+    relabel = 1) — the metric the reference's headline scoring computes
+    through apted.jar (`tree_edit_distance.py:18-24`); this is the classic
+    Zhang-Shasha O(n²·min-depth²) dynamic program, pure Python, JVM-free.
+    Driver-side by design: it scores the COLLECTED concept tree (concept-
+    sized) against a planted truth — never a distributed input."""
+    la, lml_a = _postorder(_parse_bracket(bracket_a))
+    lb, lml_b = _postorder(_parse_bracket(bracket_b))
+
+    def keyroots(lml: list[int]) -> list[int]:
+        last: dict[int, int] = {}
+        for i, leaf in enumerate(lml):
+            last[leaf] = i
+        return sorted(last.values())
+
+    m, n = len(la), len(lb)
+    td = [[0] * n for _ in range(m)]
+    for i in keyroots(lml_a):
+        for j in keyroots(lml_b):
+            li, lj = lml_a[i], lml_b[j]
+            fm, fn = i - li + 2, j - lj + 2
+            fd = [[0] * fn for _ in range(fm)]
+            for x in range(1, fm):
+                fd[x][0] = fd[x - 1][0] + 1
+            for y in range(1, fn):
+                fd[0][y] = fd[0][y - 1] + 1
+            for x in range(1, fm):
+                ai = li + x - 1
+                for y in range(1, fn):
+                    bj = lj + y - 1
+                    if lml_a[ai] == li and lml_b[bj] == lj:
+                        cost = 0 if la[ai] == lb[bj] else 1
+                        fd[x][y] = min(
+                            fd[x - 1][y] + 1,
+                            fd[x][y - 1] + 1,
+                            fd[x - 1][y - 1] + cost,
+                        )
+                        td[ai][bj] = fd[x][y]
+                    else:
+                        p = lml_a[ai] - li
+                        q = lml_b[bj] - lj
+                        fd[x][y] = min(
+                            fd[x - 1][y] + 1,
+                            fd[x][y - 1] + 1,
+                            fd[p][q] + td[ai][bj],
+                        )
+    return td[m - 1][n - 1]

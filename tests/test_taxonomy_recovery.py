@@ -19,6 +19,7 @@ from concept_hierarchy_formation_in_property_graphs_spark.operators.export impor
     edge_precision_recall,
     hierarchy_edge_sets,
     to_bracket,
+    tree_edit_distance,
 )
 
 
@@ -40,6 +41,10 @@ def test_recovers_planted_taxonomy_noise_free(spark):
     got = hierarchy_edge_sets(concepts, _name_expr())
     p, r = edge_precision_recall(got, truth_edges)
     assert p == 1.0 and r == 1.0, (p, r)
+    # P8: the thesis's headline score — TED against the planted truth is 0
+    _, _, truth_bracket = generate_labels(3, 3, 2, 0.0)
+    got_bracket = to_bracket(concepts.withColumn("name", _name_expr()), name_col="name")
+    assert tree_edit_distance(got_bracket, truth_bracket) == 0
     assert invariant_violations(h["concepts"], h["assignments"]) == {
         "dup_instance": 0, "assign_to_inner": 0, "orphans": 0, "partition_counts": 0,
     }
@@ -58,6 +63,12 @@ def test_taxonomy_recovery_under_noise(spark):
     p, r = edge_precision_recall(got, truth_edges)
     # noisy records add spurious concepts but the planted tree must survive
     assert r >= 0.9, (p, r)
+    # P8: under noise the TED equals exactly the spurious-concept count —
+    # every edit is an insertion; the planted tree is embedded unchanged
+    _, _, truth_bracket = generate_labels(2, 4, 4, 0.10, seed=7)
+    got_bracket = to_bracket(concepts.withColumn("name", _name_expr()), name_col="name")
+    ted = tree_edit_distance(got_bracket, truth_bracket)
+    assert ted == got_bracket.count("{") - truth_bracket.count("{"), ted
     assert invariant_violations(h["concepts"], h["assignments"]) == {
         "dup_instance": 0, "assign_to_inner": 0, "orphans": 0, "partition_counts": 0,
     }
@@ -75,3 +86,14 @@ def test_bracket_export_matches_truth_shape(spark):
     named = concepts.withColumn("name", _name_expr())
     got = to_bracket(named, name_col="name")
     assert got == truth_bracket, (got, truth_bracket)
+
+
+def test_tree_edit_distance_unit_costs():
+    """Zhang-Shasha over bracket trees: unit insert/delete/relabel — the
+    canonical example from the paper and edge cases."""
+    assert tree_edit_distance("{a}", "{a}") == 0
+    assert tree_edit_distance("{a}", "{b}") == 1
+    assert tree_edit_distance("{a{b}}", "{a}") == 1
+    assert tree_edit_distance("{a{b}{c}}", "{a{c}}") == 1
+    assert tree_edit_distance("{a{b{c}}}", "{a{c{b}}}") == 2
+    assert tree_edit_distance("{f{d{a}{c{b}}}{e}}", "{f{c{d{a}{b}}}{e}}") == 2
