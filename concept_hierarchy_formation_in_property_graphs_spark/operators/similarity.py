@@ -64,17 +64,166 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
     )
 
 
+def _centroid_scores(emb, centroids: list[list[float]]):
+    return F.array(
+        *[
+            _dot(emb, F.array(*[F.lit(float(v)) for v in c]))
+            for c in centroids
+        ]
+    )
+
+
+def _argmax_positions(scores, n: int) -> list:
+    """1-based positions of the top-n entries of an array column, computed
+    by iterative masking (codegen-friendly; mirrors the DuckDB twin's shape
+    exactly, unlike a struct-sort which orders differently across engines)."""
+    def _mask(prev, pos):
+        return F.transform(
+            prev,
+            lambda x, i: F.when(i == pos - 1, F.lit(float("-inf"))).otherwise(x),
+        )
+
+    out = []
+    cur = scores
+    for _ in range(n):
+        pos = F.array_position(cur, F.array_max(cur))
+        out.append(pos)
+        cur = _mask(cur, pos)
+    return out
+
+
+def ivf_ann(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+            n_centroids: int = 8, nprobe: int = 2, seed: int = 11,
+            dim: int = 64) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions vectors into centroid
+    lists; each query probes only its ``nprobe`` nearest lists.
+
+    The centroids are a deterministic seeded random matrix (a production
+    deployment would Lloyd-refine them offline and broadcast the result —
+    the query-time plan is identical). At 100 TB the centroid id is a
+    PARTITIONING KEY: the inverted lists can be written bucketed-by-
+    centroid so a probe is a partition-pruned scan of nprobe/n_centroids
+    of the data, no shuffle at query time.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_centroids, dim).tolist()
+
+    base = embeddings.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _centroid_scores(F.col("embedding"), cents).alias("cscores"),
+    ).withColumn(
+        "centroid", F.array_position(F.col("cscores"), F.array_max("cscores"))
+    )
+    probes = _argmax_positions(F.col("cscores"), nprobe)
+    queries = (
+        base.where(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(F.array(*probes)).alias("centroid"),
+        )
+    )
+    scored = (
+        base.join(F.broadcast(queries), "centroid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            _dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("score", 4).alias("score4"))
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                             n_planes: int = 32, bands: int = 8,
+                             seed: int = 19, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: BANDED sign-pattern LSH
+    blocking → exact cosine verify ≥ threshold on the blocked candidates.
+
+    Per plane P[sign agrees] = 1 − θ/π; banding r = n_planes/bands planes
+    per band gives candidate recall 1 − (1 − pʳ)ᵇ — ≈1.0 for true
+    near-duplicates (cosine ≥ 0.9), ≈0.75 at the demo threshold 0.4 used
+    on the synthetic embeddings (documented approximation; the oracle twin
+    recomputes the SAME blocking, so the correctness gate is exact). The
+    per-band bucket join replaces the O(n²) cross join — the same blocking
+    shape as the MinHash text-dedup path, and at 100 TB the same
+    hot-bucket cap applies."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim).tolist()
+    r = n_planes // bands
+
+    def band_hashes(emb):
+        out = []
+        for b in range(bands):
+            h = F.lit(0)
+            for j in range(r):
+                arr = F.array(*[F.lit(float(v)) for v in planes[b * r + j]])
+                h = h + F.when(_dot(emb, arr) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            out.append(h)
+        return F.array(*out)
+
+    base = embeddings.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        band_hashes(F.col("embedding")).alias("bh"),
+    )
+    banded = base.select(
+        "vec_id", F.posexplode("bh").alias("band_idx", "band_hash")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_hash"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "score", _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+        )
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 4).alias("score4"))
+    )
+
+
 def lsh_bucketed_ann(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-                     n_planes: int = 8, seed: int = 7) -> DataFrame:
+                     n_planes: int = 8, seed: int = 7,
+                     dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket by sign pattern, search own bucket.
 
     The planes are a deterministic pseudo-random matrix generated from the
     seed (no runtime randomness). At 100 TB the bucket join replaces the
-    cross join — candidate count drops by ~2^n_planes.
+    cross join — candidate count drops by ~2^n_planes. Pass ``dim``
+    explicitly to avoid the driver-side first() schema sniff.
     """
     import numpy as np
 
-    dim = len(embeddings.select("embedding").first()[0])
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim).tolist()
 

@@ -51,16 +51,36 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
 
 
 def run_stream_available_now(result: DataFrame, query_name: str,
-                             checkpoint_dir: str, timeout_sec: int = 120):
+                             checkpoint_dir: str, timeout_sec: int = 120,
+                             output_mode: str = "complete"):
     """Drain all available input into an in-memory sink (exactly-once),
-    return the completed StreamingQuery."""
+    return the completed StreamingQuery.
+
+    Raises TimeoutError if the drain does not finish within
+    ``timeout_sec`` — a partial memory table must never be mistaken for
+    the full result.
+
+    ``output_mode`` caveat: the default ``complete`` keeps ALL window
+    state for the lifetime of the query (the watermark never drops
+    anything) — correct and bounded for an AvailableNow drain over a
+    finite input, which is what this helper is for. A long-running
+    24/7 deployment should instead write ``append`` mode to a real sink:
+    with the watermark from ``windowed_event_counts``, each window is
+    emitted once finalized and its state is evicted, keeping state
+    bounded by (watermark horizon / window size).
+    """
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not drain within {timeout_sec}s; "
+            "memory table would be partial"
+        )
     return q

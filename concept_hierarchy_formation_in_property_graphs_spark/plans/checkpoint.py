@@ -37,14 +37,22 @@ class StageRunner:
 
     @staticmethod
     def _footer_lineage(path: str) -> list[tuple[str, int]]:
-        """(file, num_rows) per committed part file, from parquet footers."""
-        import pyarrow.parquet as pq
-
+        """(file, num_rows) per committed part file, from columnar footers
+        (parquet or ORC — both carry row counts in file metadata; an
+        Iceberg snapshot exposes the identical counts in its manifest)."""
         out = []
         for fn in sorted(os.listdir(path)):
-            if fn.startswith("part-") and fn.endswith(".parquet"):
-                md = pq.read_metadata(os.path.join(path, fn))
-                out.append((fn, md.num_rows))
+            if not fn.startswith("part-"):
+                continue
+            full = os.path.join(path, fn)
+            if fn.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                out.append((fn, pq.read_metadata(full).num_rows))
+            elif fn.endswith(".orc"):
+                import pyarrow.orc as po
+
+                out.append((fn, po.ORCFile(full).nrows))
         return out
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:

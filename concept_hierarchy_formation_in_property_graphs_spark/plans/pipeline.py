@@ -54,6 +54,7 @@ def run_pipeline(
     parallelism: int | None = None,
     open_vocab: bool = False,
     mention_entities: int | None = None,
+    fmt: str = "parquet",
 ) -> dict:
     """Run (or resume) the full pipeline; returns stage DataFrames.
 
@@ -64,7 +65,7 @@ def run_pipeline(
     tiny stage outputs get packed into one partition. Defaults to
     2× defaultParallelism.
     """
-    runner = StageRunner(spark, workdir)
+    runner = StageRunner(spark, workdir, fmt=fmt)
     par = parallelism or spark.sparkContext.defaultParallelism * 2
 
     def _spread(df: DataFrame) -> DataFrame:

@@ -1197,7 +1197,129 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN — the 100 TB scale path (bucket join in
     place of the cross join); deterministic seeded planes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_ann(emb, _ANN_QUERY_IDS, k=5, n_planes=8, seed=7)
+    return lsh_bucketed_ann(emb, _ANN_QUERY_IDS, k=5, n_planes=8, seed=7, dim=64)
+
+
+def _ivf_oracle_sql(n_centroids: int = 8, nprobe: int = 2, seed: int = 11,
+                    dim: int = 64, k: int = 5) -> str:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_centroids, dim).tolist()
+    dots = ", ".join(
+        "list_dot_product(emb, ["
+        + ", ".join(repr(float(v)) for v in c)
+        + "]::DOUBLE[])"
+        for c in cents
+    )
+    ids = ", ".join(map(str, _ANN_QUERY_IDS))
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+sc AS (SELECT vec_id, emb, nrm, [{dots}] AS cs FROM base),
+ex AS (SELECT vec_id, i, cs[i] AS cscore FROM sc, range(1, {n_centroids + 1}) t(i)),
+rk AS (
+  SELECT vec_id, i,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cscore DESC, i ASC) AS r
+  FROM ex
+),
+assign AS (SELECT vec_id, i AS centroid FROM rk WHERE r = 1),
+qprobe AS (SELECT vec_id AS query_id, i AS centroid FROM rk
+           WHERE r <= {nprobe} AND vec_id IN ({ids})),
+qv AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM sc
+       WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT qp.query_id, s.vec_id,
+         list_dot_product(s.emb, qv.q_emb) / (s.nrm * qv.q_nrm) AS score
+  FROM sc s
+  JOIN assign a ON s.vec_id = a.vec_id
+  JOIN qprobe qp ON a.centroid = qp.centroid
+  JOIN qv ON qv.query_id = qp.query_id
+  WHERE s.vec_id <> qp.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank, round(score, 4) AS score4
+FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_register("sim_ivf_ann", _ivf_oracle_sql())
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — coarse-quantizer inverted lists, nprobe=2. At 100 TB the
+    centroid id becomes the bucketing key of the stored table, so a probe
+    is a partition-pruned scan (no shuffle); see `operators/similarity.
+    ivf_ann`."""
+    from .operators.similarity import ivf_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann(emb, _ANN_QUERY_IDS, k=5, n_centroids=8, nprobe=2,
+                   seed=11, dim=64)
+
+
+def _emb_near_dup_oracle_sql(threshold: float = 0.4, n_planes: int = 32,
+                             bands: int = 8, seed: int = 19,
+                             dim: int = 64) -> str:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim).tolist()
+    r = n_planes // bands
+    band_exprs = []
+    for b in range(bands):
+        bits = " + ".join(
+            "CASE WHEN list_dot_product(emb, ["
+            + ", ".join(repr(float(v)) for v in planes[b * r + j])
+            + f"]::DOUBLE[]) >= 0 THEN {1 << j} ELSE 0 END"
+            for j in range(r)
+        )
+        band_exprs.append(f"({bits})")
+    bh = ", ".join(band_exprs)
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+bnd AS (SELECT vec_id, emb, nrm, [{bh}] AS bh FROM base),
+ex AS (SELECT vec_id, i AS band_idx, bh[i] AS band_hash
+       FROM bnd, range(1, {bands + 1}) t(i)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(score, 4) AS score4
+FROM (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) AS score
+  FROM cand c
+  JOIN bnd x ON c.id_a = x.vec_id
+  JOIN bnd y ON c.id_b = y.vec_id
+)
+WHERE score >= {threshold}
+"""
+
+
+@_register("dd_embedding_near_dup", _emb_near_dup_oracle_sql())
+def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded sign-LSH blocking + exact
+    cosine verify — the semantic-dedup path of a training-data pipeline
+    (`operators/similarity.embedding_near_dup_pairs`)."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=32,
+                                    bands=8, seed=19, dim=64)
 
 
 # ---------------------------------------------------------------------------

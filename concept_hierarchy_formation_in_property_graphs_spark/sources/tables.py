@@ -12,9 +12,12 @@ scan so Catalyst gets pushdown + pruning for free.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
 
 TPCH_TABLES = (
     "region",
@@ -65,8 +68,18 @@ def read_pages(
     if iceberg_table is not None:
         try:
             return spark.read.format("iceberg").load(iceberg_table)
-        except Exception:
-            pass  # fall through to parquet path
+        except Exception as ex:
+            if path is None:
+                # no fallback — surface the REAL failure (e.g. missing
+                # Iceberg runtime jar), don't mask it
+                raise RuntimeError(
+                    f"Iceberg read of {iceberg_table!r} failed and no "
+                    "parquet fallback path was given"
+                ) from ex
+            _log.warning(
+                "Iceberg read of %r failed (%s); falling back to parquet %s",
+                iceberg_table, ex, path,
+            )
     if path is None:
         raise ValueError("read_pages needs a parquet path or an iceberg table")
     return spark.read.parquet(path)

@@ -116,3 +116,58 @@ def test_lsh_ann_scores_match_bruteforce_subset(spark):
     assert ann, "same-bucket candidates expected at 4 planes"
     for r in ann:
         assert bf[(r["query_id"], r["neighbor_id"])] == r["score4"]
+
+
+def test_ivf_ann_partitions_and_probes(spark):
+    """IVF: every vector lands in exactly one centroid list; each query's
+    results come only from its nprobe probed lists, and scores agree with
+    the brute-force cosine for those neighbors."""
+    import random
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.similarity import (
+        ivf_ann,
+    )
+
+    rng = random.Random(5)
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(80)]
+    emb = _emb(spark, vecs)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["score4"]
+        for r in cosine_topk_bruteforce(emb, [0, 1], k=80).collect()
+    }
+    got = ivf_ann(emb, [0, 1], k=5, n_centroids=4, nprobe=2, seed=11, dim=16).collect()
+    assert got, "nprobe=2 of 4 centroids must surface candidates"
+    for r in got:
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["score4"]
+    # with nprobe == n_centroids the probe covers everything: exact top-k
+    full = ivf_ann(emb, [0], k=5, n_centroids=4, nprobe=4, seed=11, dim=16).collect()
+    exact = cosine_topk_bruteforce(emb, [0], k=5).collect()
+    assert sorted((r["neighbor_id"], r["rank"]) for r in full) == sorted(
+        (r["neighbor_id"], r["rank"]) for r in exact
+    )
+
+
+def test_embedding_near_dup_banding_recall(spark):
+    """Banded sign-LSH must catch planted near-duplicate embedding pairs
+    (cosine ≈ 0.99) and never emit a pair below the verify threshold."""
+    import random
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(9)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    vecs = []
+    for v in base:
+        vecs.append(v)
+        vecs.append([x + rng.gauss(0, 0.02) for x in v])  # planted near-dup
+    emb = _emb(spark, vecs)
+    got = embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=32, bands=8, seed=19, dim=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, recall
+    assert all(r["score4"] >= 0.9 for r in got)
