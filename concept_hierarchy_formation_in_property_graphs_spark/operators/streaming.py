@@ -13,7 +13,7 @@ tests assert stream output == the batch groupBy on the same files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
@@ -47,6 +47,99 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
             F.col("win.start").alias("window_start"),
             "event_type", "n_events", "sum_value",
         )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_sec: int = 43_200) -> DataFrame:
+    """Gap-based sessionization, batch form: a new session starts when the
+    inter-event gap within a user exceeds ``gap_sec``. Classic lag →
+    boundary-flag → running-sum → groupBy; all window/aggregate, codegen'd,
+    one shuffle on user_id. Microsecond-exact boundary comparison via
+    unix_micros so the DuckDB twin (epoch_us) reproduces it bit-for-bit.
+
+    Returns (user_id, session_start, session_end, n_events, sum_value).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = F.lag("ts").over(w)
+    # interval comparison works for TIMESTAMP and TIMESTAMP_NTZ alike and
+    # is microsecond-exact — matches the oracle's epoch_us() difference
+    new_s = F.when(
+        lagged.isNull()
+        | (F.col("ts") > lagged + F.expr(f"INTERVAL {gap_sec} SECONDS")),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.select("user_id", "ts", "value")
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .drop("sid")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 43_200) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator —
+    ``applyInPandasWithState`` keeps one open session per user across
+    micro-batches and emits a session row the moment a later event closes
+    it (append mode; the open tail stays in state).
+
+    State is (start_ns, last_ns, n, sum) per user — O(#users), bounded.
+    Assumes per-user event-time order across micro-batches (time-ordered
+    ingest, e.g. Kafka partitions keyed by user or time-bucketed files);
+    within a batch events are sorted here. The batch twin is
+    ``sessionize_batch``; tests assert stream(closed) == batch minus each
+    user's final (still-open) session across multi-batch runs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start_ns long, last_ns long, n long, s double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (uid,) = key
+        chunks = [pdf[["ts", "value"]] for pdf in pdf_iter]
+        if not chunks:
+            return
+        data = pd.concat(chunks).sort_values("ts")
+        if state.exists:
+            start_ns, last_ns, n, s = state.get
+        else:
+            start_ns = last_ns = None
+            n, s = 0, 0.0
+        closed: list[tuple] = []
+        gap_ns = gap_sec * 1_000_000_000
+        for ts, val in zip(data["ts"], data["value"]):
+            t = int(pd.Timestamp(ts).value)
+            if last_ns is None:
+                start_ns, last_ns, n, s = t, t, 1, float(val)
+            elif t - last_ns > gap_ns:
+                closed.append((int(uid), start_ns, last_ns, n, s))
+                start_ns, last_ns, n, s = t, t, 1, float(val)
+            else:
+                last_ns, n, s = max(last_ns, t), n + 1, s + float(val)
+        state.update((start_ns, last_ns, n, s))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "sum_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="ns")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="ns")
+            yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 

@@ -292,6 +292,39 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ev_sessions",
+    """
+WITH x AS (
+  SELECT user_id, ts, "value",
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+y AS (
+  SELECT user_id, ts, "value",
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum("value"), 2) AS sum_value
+FROM y GROUP BY user_id, sid
+""",
+)
+def ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12 h gap), batch form — the custom
+    stateful streaming twin is `operators/streaming.sessionize_stream`
+    (applyInPandasWithState), asserted equal in tests."""
+    from .operators.streaming import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_sec=43_200)
+
+
+@_register(
     "q_deterministic_sample",
     f"""
 SELECT doc_id FROM documents

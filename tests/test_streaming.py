@@ -39,3 +39,63 @@ def test_stream_equals_batch_hourly_counts(spark):
     finally:
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_stateful_sessionization_stream_equals_batch(spark):
+    """Custom stateful operator: applyInPandasWithState sessionization over
+    THREE time-ordered micro-batches must close exactly the sessions the
+    batch twin closes — per-user state (the open session) survives batch
+    boundaries, so sessions spanning files merge correctly."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    GAP = 6 * 3600  # 6 h — several sessions per user on the sf0.001 events
+    src_dir = tempfile.mkdtemp(prefix="chf_sess_src_")
+    ck = tempfile.mkdtemp(prefix="chf_sess_ck_")
+    try:
+        full = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        full = full.sort_values("ts").reset_index(drop=True)
+        # three sequential time ranges → three micro-batches in event-time order
+        cuts = [0, len(full) // 3, 2 * len(full) // 3, len(full)]
+        for i in range(3):
+            p = os.path.join(src_dir, f"{i}.parquet")
+            full.iloc[cuts[i]:cuts[i + 1]].to_parquet(p)
+            os.utime(p, (time.time() + i, time.time() + i))  # mtime order = file order
+
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        q = run_stream_available_now(
+            sessionize_stream(stream, gap_sec=GAP), "sessions_stream", ck,
+            output_mode="append",
+        )
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], round(r["sum_value"], 2))
+            for r in spark.table("sessions_stream").collect()
+        }
+        q.stop()
+
+        batch = sessionize_batch(spark.read.parquet(src_dir), gap_sec=GAP).collect()
+        # the stream never closes each user's FINAL session (no later event)
+        last_start = {}
+        for r in batch:
+            if (r["user_id"] not in last_start
+                    or r["session_start"] > last_start[r["user_id"]]):
+                last_start[r["user_id"]] = r["session_start"]
+        exp = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], round(r["sum_value"], 2))
+            for r in batch
+            if r["session_start"] != last_start[r["user_id"]]
+        }
+        assert len(exp) > 0
+        assert got == exp
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
