@@ -212,13 +212,22 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
 
 def lsh_bucketed_ann(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                      n_planes: int = 8, seed: int = 7,
-                     dim: int | None = None) -> DataFrame:
+                     dim: int | None = None,
+                     multiprobe: bool = False) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket by sign pattern, search own bucket.
 
     The planes are a deterministic pseudo-random matrix generated from the
     seed (no runtime randomness). At 100 TB the bucket join replaces the
     cross join — candidate count drops by ~2^n_planes. Pass ``dim``
     explicitly to avoid the driver-side first() schema sniff.
+
+    ``multiprobe=True`` additionally probes every Hamming-distance-1
+    bucket (each sign bit flipped once): a true neighbour differs from the
+    query in ≥1 plane with probability 1−pⁿ, and most misses differ in
+    exactly one — Hamming-1 probing recovers them for (n_planes+1)× the
+    candidate volume instead of the 2× of halving n_planes. The probe
+    list lives on the (tiny, broadcast) query side; the big side is
+    scanned once either way.
     """
     import numpy as np
 
@@ -246,6 +255,18 @@ def lsh_bucketed_ann(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multiprobe:
+        probe_list = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        queries = queries.select(
+            "query_id", "q_emb", "q_nrm",
+            F.explode(probe_list).alias("q_bucket"),
+        )
     scored = (
         base.join(F.broadcast(queries), F.col("bucket") == F.col("q_bucket"))
         .where(F.col("vec_id") != F.col("query_id"))

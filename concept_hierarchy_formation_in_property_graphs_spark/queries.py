@@ -1183,7 +1183,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, _ANN_QUERY_IDS, k=5)
 
 
-def _lsh_ann_oracle_sql(n_planes: int = 8, seed: int = 7, dim: int = 64, k: int = 5) -> str:
+def _lsh_ann_oracle_sql(n_planes: int = 8, seed: int = 7, dim: int = 64,
+                        k: int = 5, multiprobe: bool = False) -> str:
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -1195,6 +1196,19 @@ def _lsh_ann_oracle_sql(n_planes: int = 8, seed: int = 7, dim: int = 64, k: int 
             f"CASE WHEN list_dot_product(emb, {arr}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END"
         )
     bucket = " + ".join(terms)
+    if multiprobe:
+        flips = ", ".join(f"xor(q_bucket0, {1 << i})" for i in range(n_planes))
+        probe_cte = f""",
+queries AS (
+  SELECT query_id, q_emb, q_nrm,
+         unnest([q_bucket0, {flips}]) AS q_bucket
+  FROM queries0
+)"""
+    else:
+        probe_cte = """,
+queries AS (
+  SELECT query_id, q_emb, q_nrm, q_bucket0 AS q_bucket FROM queries0
+)"""
     return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -1205,10 +1219,10 @@ WITH base AS (
 bucketed AS (
   SELECT vec_id, emb, nrm, {bucket} AS bucket FROM base
 ),
-queries AS (
-  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+queries0 AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket0
   FROM bucketed WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})
-),
+){probe_cte},
 scored AS (
   SELECT q.query_id, b.vec_id,
          list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS score
@@ -1231,6 +1245,16 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     place of the cross join); deterministic seeded planes."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_ann(emb, _ANN_QUERY_IDS, k=5, n_planes=8, seed=7, dim=64)
+
+
+@_register("sim_lsh_ann_multiprobe", _lsh_ann_oracle_sql(multiprobe=True))
+def sim_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 multi-probe LSH ANN — the recall fix for single-probe
+    LSH at scale: (n_planes+1) probed buckets per query, probe list on
+    the broadcast query side only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_ann(emb, _ANN_QUERY_IDS, k=5, n_planes=8, seed=7,
+                            dim=64, multiprobe=True)
 
 
 def _ivf_oracle_sql(n_centroids: int = 8, nprobe: int = 2, seed: int = 11,

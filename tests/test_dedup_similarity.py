@@ -171,3 +171,31 @@ def test_embedding_near_dup_banding_recall(spark):
     recall = len(found & planted) / len(planted)
     assert recall >= 0.95, recall
     assert all(r["score4"] >= 0.9 for r in got)
+
+
+def test_lsh_multiprobe_dominates_single_probe(spark):
+    """Hamming-1 probing must find a superset of single-probe results and
+    strictly improve recall vs brute-force top-k on gaussian vectors."""
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(120)]
+    emb = _emb(spark, vecs)
+    qs = [0, 1, 2]
+    # k = n: compare the full CANDIDATE sets, not a top-k of them
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_ann(emb, qs, k=120, n_planes=6, dim=16).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_ann(
+            emb, qs, k=120, n_planes=6, dim=16, multiprobe=True
+        ).collect()
+    }
+    assert single <= multi
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, qs, k=5).collect()
+    }
+    assert len(multi & truth) > len(single & truth)
