@@ -22,8 +22,12 @@ AUDIT = [
     "kg_structural_features",
     "kg_concept_intents",
     "dd_lsh_near_dup_capped",
+    "dd_embedding_near_dup",
     "tx_quality_scores",
     "sim_cosine_topk",
+    "sim_ivf_ann",
+    "sim_lsh_ann_multiprobe",
+    "ev_sessions",
     "q_deterministic_sample",
 ]
 
