@@ -80,11 +80,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "sig",
     The number of chained buckets is logged.
     """
     rows_per_band = num_perm // bands
+    # band hash = md5 over the '|'-joined band slice — portable to the
+    # DuckDB oracle (same string, same md5), like the dedup twin;
+    # never xxhash64 in anything oracled
     banded = df.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
-                F.xxhash64(F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band))
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice(F.col(sig_col), i * rows_per_band + 1,
+                                    rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                )
                 for i in range(bands)
             ])
         ).alias("band_idx", "band_hash"),

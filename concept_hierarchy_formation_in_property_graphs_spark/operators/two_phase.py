@@ -170,8 +170,15 @@ def feature_ablation_intents(nodes: DataFrame, edges: DataFrame,
 
 
 def two_phase_hierarchy(spark: SparkSession, nodes: DataFrame,
-                        edges: DataFrame) -> dict[str, DataFrame]:
-    """Returns the phase-2 hierarchy dict (+ the three phase-1 trees)."""
+                        edges: DataFrame,
+                        summary_sink: str | None = None) -> dict[str, DataFrame]:
+    """Returns the phase-2 hierarchy dict (+ the three phase-1 trees).
+
+    ``summary_sink``: optional parquet path; when given, the phase-2
+    summary-intent table is persisted there and read back before the final
+    build — the seam that lets the DuckDB oracle rebuild the final tree
+    from the exact same rows.
+    """
     h_props = build_hierarchy(node_prop_intents(nodes), root_seed="n")
     h_struct = build_hierarchy(structural_intents(nodes, edges), root_seed="s")
     rel_int = relationship_intents(edges).localCheckpoint(eager=True)
@@ -214,6 +221,9 @@ def two_phase_hierarchy(spark: SparkSession, nodes: DataFrame,
             ).alias("intent"),
         )
     )
+    if summary_sink is not None:
+        summary.write.mode("overwrite").parquet(summary_sink)
+        summary = spark.read.parquet(summary_sink)
     final = build_hierarchy(summary, root_seed="c")
     final["props_tree"] = h_props["concepts"]
     final["struct_tree"] = h_struct["concepts"]

@@ -1417,16 +1417,85 @@ def pl_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_from_mention_pairs(mp, links)
 
 
-@_register("pl_canonicalize_surfaces")
+_PL_SURFACES_PATH = str(
+    _Path(__file__).resolve().parent.parent / ".artifacts" / "pl_surfaces"
+)
+
+
+def _canonicalize_oracle_sql(threshold: float = 0.55, num_perm: int = 16,
+                             bands: int = 16, shingle_n: int = 3) -> str:
+    """DuckDB twin of the WHOLE canonicalization chain: char shingles →
+    md5 MinHash → per-band bucketing → exact-Jaccard verify → connected
+    components as a recursive transitive-closure CTE (min reachable id =
+    the min-label the Spark loop converges to). Valid because every hash
+    is the portable md5 family and the fixture is far below the bucket
+    cap (chaining never triggers)."""
+    h = md5_long_sql("gram")
+    mins = ", ".join(
+        f"min({permuted_sql(h, a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    )
+    mh_list = "[" + ", ".join(f"mh{i}" for i in range(num_perm)) + "]"
+    return f"""
+WITH RECURSIVE uniq AS (
+  SELECT DISTINCT surface FROM read_parquet('{_PL_SURFACES_PATH}/*.parquet')
+),
+norm AS (SELECT surface, lower(trim(surface)) AS s FROM uniq),
+sh AS (
+  SELECT surface,
+         list_distinct(list_transform(
+           range(1, greatest(length(s) - {shingle_n - 1}, 1) + 1),
+           i -> substr(s, CAST(i AS INT), {shingle_n})
+         )) AS grams
+  FROM norm
+),
+g AS (SELECT surface, unnest(grams) AS gram FROM sh),
+sigs AS (SELECT surface, {mins} FROM g GROUP BY surface),
+banded AS (
+  SELECT surface, t.band_idx,
+         md5(CAST({mh_list}[t.band_idx + 1] AS VARCHAR)) AS band_hash
+  FROM sigs, range(0, {bands}) t(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.surface AS src, b.surface AS dst
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.surface < b.surface
+),
+ver AS (
+  SELECT c.src, c.dst
+  FROM cand c
+  JOIN sh x ON c.src = x.surface
+  JOIN sh y ON c.dst = y.surface
+  WHERE len(list_distinct(x.grams || y.grams)) > 0
+    AND CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+        / len(list_distinct(x.grams || y.grams)) >= {threshold}
+),
+sym AS (SELECT src, dst FROM ver UNION ALL SELECT dst, src FROM ver),
+reach AS (
+  SELECT src AS id, dst AS peer FROM sym
+  UNION
+  SELECT r.id, s.dst FROM reach r JOIN sym s ON r.peer = s.src
+),
+comp AS (SELECT id, least(id, min(peer)) AS canonical FROM reach GROUP BY id)
+SELECT u.surface, COALESCE(c.canonical, u.surface) AS canonical
+FROM uniq u LEFT JOIN comp c ON u.surface = c.id
+"""
+
+
+@_register("pl_canonicalize_surfaces", _canonicalize_oracle_sql())
 def pl_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 open-vocabulary canonicalization — MinHash-LSH blocking + iterative
-    connected components (driver loop, localCheckpoint per round)."""
+    """S3 open-vocabulary canonicalization — MinHash-LSH blocking + CC
+    (path-halving min-label loop). Since round 2 the ENTIRE chain has a
+    DuckDB oracle: portable md5 band hashes + a recursive-CTE closure
+    stand in for the iterative loop, over the persisted surface fixture."""
     from .operators.linking import canonicalize_surfaces
     from .plans.pipeline import all_surfaces
 
     surfaces = spark.createDataFrame(
         [(s,) for s in all_surfaces(80)], "surface string"
     )
+    surfaces.write.mode("overwrite").parquet(_PL_SURFACES_PATH)
     return canonicalize_surfaces(surfaces, threshold=0.55)
 
 
@@ -1555,17 +1624,25 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(generate_assets_df(spark, 120), every_n=25)
 
 
-@_register("pl_two_phase_hierarchy")
+_PL_SUMMARY_PATH = str(
+    _Path(__file__).resolve().parent.parent / ".artifacts" / "pl_two_phase_summary"
+)
+
+
+@_register("pl_two_phase_hierarchy", None)  # oracle registered below
 def pl_two_phase_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 two-phase summary pipeline (`algos/PropertyGraphCobweb.java:
     309-380`): three phase-1 trees → per-node cutoff-label summaries →
-    final hierarchy. Iterative + multi-tree → rows-only check."""
+    final hierarchy. Since round 2 the FINAL tree is oracled: the
+    phase-2 summary-intent table persists to parquet and the DuckDB twin
+    rebuilds the labeled hierarchy from it (the three phase-1 trees stay
+    covered by pytest)."""
     from .operators.graph import graph_from_triples
     from .operators.two_phase import two_phase_hierarchy
 
     triples = pl_triples(spark, sf_dir)
     nodes, edges = graph_from_triples(triples)
-    h = two_phase_hierarchy(spark, nodes, edges)
+    h = two_phase_hierarchy(spark, nodes, edges, summary_sink=_PL_SUMMARY_PATH)
     return h["concepts"].select(
         "concept_id", "parent_id", "depth", "label", "count", "is_leaf"
     )
@@ -1592,19 +1669,130 @@ def pl_open_vocab_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples
 
 
-@_register("pl_concept_hierarchy")
+_PL_INTENTS_PATH = str(
+    _Path(__file__).resolve().parent.parent / ".artifacts" / "pl_intents"
+)
+
+def _hierarchy_oracle_sql(path: str) -> str:
+    """Full hierarchy oracle INCLUDING path labels, over a persisted
+    (instance_id, intent) parquet: exact-intent groups → most-specific-
+    subsumer parents → residual leaves → recursive depth/label/closure/
+    count. chr(31)/chr(30) are the engine's SEP / residual-suffix control
+    chars. Assumes nonempty intents (every pipeline node has ≥1 edge and
+    the two-phase summary always carries P:/S: items), matching the kg
+    twin."""
+    return f"""
+WITH RECURSIVE srct AS (
+  SELECT instance_id, intent FROM read_parquet('{path}/*.parquet')
+),
+canon AS (
+  SELECT instance_id, list_sort(list_distinct(intent)) AS intent FROM srct
+),
+intents AS (
+  SELECT array_to_string(intent, chr(31)) AS cid, intent,
+         len(intent) AS isize, count(*) AS n_exact
+  FROM canon GROUP BY 1, 2, 3
+),
+subpairs AS (
+  SELECT d.cid AS desc_cid, a.cid AS anc_cid, a.isize AS anc_size
+  FROM intents d JOIN intents a
+    ON a.isize < d.isize AND list_has_all(d.intent, a.intent)
+  WHERE a.isize > 0
+),
+best AS (
+  SELECT desc_cid, anc_cid FROM (
+    SELECT desc_cid, anc_cid,
+           row_number() OVER (PARTITION BY desc_cid
+                              ORDER BY anc_size DESC, anc_cid ASC) AS rn
+    FROM subpairs
+  ) WHERE rn = 1
+),
+parents AS (
+  SELECT i.cid, COALESCE(b.anc_cid, '') AS parent_cid, i.n_exact
+  FROM intents i LEFT JOIN best b ON i.cid = b.desc_cid
+),
+allnodes AS (
+  SELECT cid, parent_cid, n_exact FROM parents
+  UNION ALL SELECT '', NULL, 0
+),
+haskids AS (SELECT DISTINCT parent_cid AS cid FROM parents),
+residuals AS (
+  SELECT a.cid || chr(30) || '*' AS cid, a.cid AS parent_cid, a.n_exact
+  FROM allnodes a JOIN haskids h ON a.cid = h.cid
+  WHERE a.n_exact > 0
+),
+tree0 AS (
+  SELECT a.cid, a.parent_cid,
+         CASE WHEN h.cid IS NOT NULL AND a.n_exact > 0 THEN 0
+              ELSE a.n_exact END AS n_exact,
+         h.cid IS NULL AS is_leaf
+  FROM allnodes a LEFT JOIN haskids h ON a.cid = h.cid
+  UNION ALL
+  SELECT cid, parent_cid, n_exact, TRUE FROM residuals
+),
+ranked AS (
+  SELECT cid, parent_cid,
+         CAST(row_number() OVER (PARTITION BY parent_cid ORDER BY cid) - 1
+              AS VARCHAR) AS rk
+  FROM tree0 WHERE parent_cid IS NOT NULL
+),
+depths AS (
+  SELECT '' AS cid, 0 AS depth
+  UNION ALL
+  SELECT t.cid, d.depth + 1 FROM tree0 t JOIN depths d ON t.parent_cid = d.cid
+),
+lab AS (
+  SELECT '' AS cid, 'c' AS label
+  UNION ALL
+  SELECT r.cid, l.label || r.rk FROM ranked r JOIN lab l ON r.parent_cid = l.cid
+),
+closure AS (
+  SELECT cid AS "desc", cid AS anc FROM tree0
+  UNION ALL
+  SELECT c."desc", t.parent_cid
+  FROM closure c JOIN tree0 t ON c.anc = t.cid
+  WHERE t.parent_cid IS NOT NULL
+),
+counts AS (
+  SELECT c.anc AS cid, sum(t.n_exact) AS cnt
+  FROM closure c JOIN tree0 t ON c."desc" = t.cid
+  WHERE t.n_exact > 0
+  GROUP BY c.anc
+)
+SELECT t.cid AS concept_id, t.parent_cid AS parent_id, d.depth, l.label,
+       CAST(COALESCE(k.cnt, 0) AS BIGINT) AS count, t.is_leaf
+FROM tree0 t
+JOIN depths d ON t.cid = d.cid
+JOIN lab l ON t.cid = l.cid
+LEFT JOIN counts k ON t.cid = k.cid
+"""
+
+
+@_register("pl_concept_hierarchy", _hierarchy_oracle_sql(_PL_INTENTS_PATH))
 def pl_concept_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline flagship: pages → triples → graph → characteristic sets
-    → labeled concept hierarchy (invariants enforced in pytest)."""
+    → labeled concept hierarchy (invariants enforced in pytest). Since
+    round 2 the hierarchy — including path LABELS — is oracled: the
+    pipeline-derived intent table is persisted to parquet and the DuckDB
+    twin rebuilds the whole tree relationally from it."""
     from .operators.concepts import build_hierarchy
     from .operators.graph import graph_from_triples
 
     triples = pl_triples(spark, sf_dir)
     nodes, edges = graph_from_triples(triples)
     cs = characteristic_sets(nodes, edges)
+    inst = cs.select(
+        F.col("id").alias("instance_id"), F.col("rel_types").alias("intent")
+    )
+    inst.write.mode("overwrite").parquet(_PL_INTENTS_PATH)
     h = build_hierarchy(
-        cs.select(F.col("id").alias("instance_id"), F.col("rel_types").alias("intent"))
+        spark.read.parquet(_PL_INTENTS_PATH)
     )
     return h["concepts"].select(
         "concept_id", "parent_id", "depth", "label", "count", "is_leaf"
     )
+
+
+# registered here because _hierarchy_oracle_sql is defined in this block,
+# after the pl_two_phase_hierarchy callable above
+_ORACLES["pl_two_phase_hierarchy"] = _hierarchy_oracle_sql(_PL_SUMMARY_PATH)
