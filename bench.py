@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "tx_fingerprints",
     "sim_cosine_topk",
     "sim_lsh_ann",
+    "sim_lsh_ann_multiprobe",
+    "sim_ivf_ann",
+    "dd_embedding_near_dup",
+    "ev_sessions",
 ]
 
 

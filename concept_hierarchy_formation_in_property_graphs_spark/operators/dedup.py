@@ -42,6 +42,43 @@ def word_tokens(col) -> F.Column:
     return F.split(col, " ")
 
 
+def word_ngrams(col, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles (space-joined) — the classic document
+    dedup unit: order-sensitive, so reshuffled boilerplate stops matching
+    where a bag-of-words Jaccard still would."""
+    toks = word_tokens(col)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_id: int | None = None) -> DataFrame:
+    """All-pairs exact word-N-GRAM Jaccard (order-sensitive gold standard;
+    quadratic — gate with max_id at test scale, block with LSH at corpus
+    scale)."""
+    d = docs if max_id is None else docs.where(F.col("doc_id") < max_id)
+    shingles = d.select(
+        "doc_id", word_ngrams(F.col(text_col), n).alias("toks")
+    )
+    a = shingles.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = shingles.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("t_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", F.size(F.array_intersect("t_a", "t_b")))
+        .withColumn("uni", F.size(F.array_union("t_a", "t_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        num_perm: int = 8) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) over distinct word tokens.

@@ -174,11 +174,15 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
             out.append(h)
         return F.array(*out)
 
+    # materialize the signature projection ONCE: four plan branches (two
+    # self-join sides + two verify sides) reference it, and each branch
+    # would otherwise recompute — and re-codegen — the 32-plane dot block.
+    # At corpus scale this is the precomputed signature table you'd store.
     base = embeddings.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
         band_hashes(F.col("embedding")).alias("bh"),
-    )
+    ).localCheckpoint(eager=False)
     banded = base.select(
         "vec_id", F.posexplode("bh").alias("band_idx", "band_hash")
     )

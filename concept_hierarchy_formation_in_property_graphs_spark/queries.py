@@ -900,6 +900,37 @@ def dd_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(docs, threshold=0.8, max_id=200)
 
 
+@_register(
+    "dd_ngram_jaccard_pairs",
+    """
+WITH shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           i -> array_to_string(
+                  string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)],
+                  ' ')
+         )) AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+""",
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs — order-sensitive shingle
+    dedup (`operators/dedup.ngram_jaccard_pairs`); id-capped quadratic
+    gold standard, LSH blocking is the production path."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_id=200)
+
+
 # ---------------------------------------------------------------------------
 # dedup family (documents table)
 # ---------------------------------------------------------------------------

@@ -199,3 +199,27 @@ def test_lsh_multiprobe_dominates_single_probe(spark):
         for r in cosine_topk_bruteforce(emb, qs, k=5).collect()
     }
     assert len(multi & truth) > len(single & truth)
+
+
+def test_ngram_jaccard_is_order_sensitive(spark):
+    """Word-3-gram shingles distinguish reshuffled text that a bag-of-words
+    Jaccard scores as identical — the boilerplate-reshuffle case."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),   # identical
+            (2, "dog lazy the over jumps fox brown quick the"),   # reshuffled
+        ],
+        "doc_id long, text string",
+    )
+    bag = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in exact_jaccard_pairs(docs, threshold=0.9).collect()}
+    ngram = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert bag[(0, 1)] == 1.0 and bag[(0, 2)] == 1.0  # bag can't tell them apart
+    assert ngram[(0, 1)] == 1.0 and (0, 2) not in ngram  # shingles can
