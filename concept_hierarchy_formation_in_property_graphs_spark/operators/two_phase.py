@@ -50,8 +50,11 @@ def structural_intents(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     def bucket(col: str) -> F.Column:
         v = F.col(col)
+        # exact integer log2 via binary-string length — floor(log2(double))
+        # is a float hazard at power-of-2 boundaries and differs between
+        # libm implementations; bin() is exact and DuckDB-portable
         b = F.when(v <= 0, F.lit(-1)).otherwise(
-            F.floor(F.log2(v.cast("double"))).cast("int")
+            (F.length(F.bin(v.cast("long"))) - 1).cast("int")
         )
         return F.concat(F.lit(col + ":b"), b.cast("string"))
 

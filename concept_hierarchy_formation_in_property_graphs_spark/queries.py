@@ -733,6 +733,61 @@ def kg_ablation_label_char(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kg_ablation_label_struct",
+    f"""
+WITH {_EDGES_SQL.strip()}, {_DEGS_SQL.strip()},
+inc AS (
+  SELECT src AS id, dst AS other FROM edges
+  UNION ALL SELECT dst AS id, src AS other FROM edges
+),
+nbr AS (
+  SELECT inc.id, sum(d.deg) AS tnd, sum(d.out_deg) AS tno, sum(d.in_deg) AS tni
+  FROM inc JOIN degs d ON inc.other = d.id GROUP BY inc.id
+),
+feats AS (
+  SELECT degs.id,
+         CAST(deg AS BIGINT) AS ego,
+         CASE WHEN deg = 0 THEN 0
+              ELSE CAST(floor(COALESCE(tnd, 0) / deg) AS BIGINT) END AS avgn,
+         CAST(out_deg + COALESCE(tno, 0) AS BIGINT) AS ego_out,
+         CAST(in_deg + COALESCE(tni, 0) AS BIGINT) AS ego_in
+  FROM degs LEFT JOIN nbr ON degs.id = nbr.id
+),
+items AS (
+  SELECT id AS instance_id, 'Entity' AS item FROM feats
+  UNION ALL SELECT id, 'EgoDegree:b' ||
+    CASE WHEN ego <= 0 THEN -1 ELSE length(bin(ego)) - 1 END FROM feats
+  UNION ALL SELECT id, 'AverageNeighbourDegree:b' ||
+    CASE WHEN avgn <= 0 THEN -1 ELSE length(bin(avgn)) - 1 END FROM feats
+  UNION ALL SELECT id, 'EgoNetOutgoingEdges:b' ||
+    CASE WHEN ego_out <= 0 THEN -1 ELSE length(bin(ego_out)) - 1 END FROM feats
+  UNION ALL SELECT id, 'EgoNetIncomingEdges:b' ||
+    CASE WHEN ego_in <= 0 THEN -1 ELSE length(bin(ego_in)) - 1 END FROM feats
+)
+SELECT instance_id,
+       array_to_string(list_sort(list_distinct(list(item))), ',') AS intent
+FROM items GROUP BY instance_id
+""",
+)
+def kg_ablation_label_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 feature ablation (labels + log2-bucketed structural features —
+    another of the 8 `integrate*` variants); buckets via exact integer
+    log2 (bin-length), portable across engines."""
+    from .operators.graph import graph_from_triples
+    from .operators.two_phase import feature_ablation_intents
+
+    triples = tpch_edges(spark, sf_dir).select(
+        F.col("src").alias("subj"), F.col("rel_type").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    nodes, edges = graph_from_triples(triples)
+    intents = feature_ablation_intents(nodes, edges, "label_struct")
+    return intents.select(
+        "instance_id", F.concat_ws(",", "intent").alias("intent")
+    )
+
+
+@_register(
     "kg_galois_closure",
     f"""
 WITH RECURSIVE {_EDGES_SQL.strip()}, {_CS_SQL.strip()},
