@@ -206,9 +206,80 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
     """
     spark = instances.sparkSession
     inst = _canonical_intents(instances)
-    exact = inst.groupBy("cid", "intent").agg(F.count("*").alias("n_exact"))
-    exact = exact.withColumn("size", F.size("intent"))
+    exact = intent_state(instances)
+    return _hierarchy_from_state(
+        spark, exact, inst, root_seed, max_depth, driver_threshold, galois
+    )
 
+
+def intent_state(instances: DataFrame) -> DataFrame:
+    """(cid, intent, n_exact, size) — the exact-intent concept STATE of an
+    instance batch: the only thing hierarchy construction needs besides
+    the instance→cid map. Concept-sized, mergeable (``merge_intent_state``),
+    and the unit of incremental maintenance."""
+    inst = _canonical_intents(instances)
+    return (
+        inst.groupBy("cid", "intent")
+        .agg(F.count("*").alias("n_exact"))
+        .withColumn("size", F.size("intent"))
+    )
+
+
+def merge_intent_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive merge of two intent states — one concept-sized groupBy."""
+    return (
+        a.unionByName(b)
+        .groupBy("cid")
+        .agg(
+            F.first("intent").alias("intent"),
+            F.sum("n_exact").alias("n_exact"),
+            F.max("size").alias("size"),
+        )
+        .select("cid", "intent", "n_exact", "size")
+    )
+
+
+def update_hierarchy(prev_state: DataFrame | None, new_instances: DataFrame,
+                     prev_inst: DataFrame | None = None,
+                     root_seed: str = "c", max_depth: int = 64,
+                     driver_threshold: int = 200_000,
+                     galois: bool = False) -> dict[str, DataFrame]:
+    """Incremental hierarchy maintenance — the distributed, ORDER-FREE
+    analogue of the reference's incremental Cobweb insertion (O3/O4/O5:
+    create/merge/split, `algos/Cobweb.java:23-160`).
+
+    The new batch contributes only its concept-sized intent-state delta;
+    old INSTANCES are never rescanned (the reference's incremental claim,
+    kept at 100 TB: each ingest touches new data + a concept-sized state
+    table). Because the lattice construction is a pure function of the
+    merged state, ``update_hierarchy(state(D1), D2)`` is BIT-IDENTICAL to
+    ``build_hierarchy(D1 ∪ D2)`` — the order-effect the reference
+    mitigates by shuffling (T8) cannot exist here. Test-enforced,
+    including the leaf→inner transition where previously-assigned
+    instances remap to a fresh residual leaf.
+
+    ``prev_inst``: the previous instance→cid map (appendable, e.g. a
+    parquet table) — needed only if ``assignments`` over OLD instances
+    should be part of the result; pass None to get assignments for the
+    new batch only. Returns the hierarchy dict plus ``state`` and
+    ``inst`` (carry both into the next update).
+    """
+    spark = new_instances.sparkSession
+    delta = intent_state(new_instances)
+    state = delta if prev_state is None else merge_intent_state(prev_state, delta)
+    inst_new = _canonical_intents(new_instances)
+    inst = inst_new if prev_inst is None else prev_inst.unionByName(inst_new)
+    out = _hierarchy_from_state(
+        spark, state, inst, root_seed, max_depth, driver_threshold, galois
+    )
+    out["state"] = state
+    out["inst"] = inst
+    return out
+
+
+def _hierarchy_from_state(spark, exact: DataFrame, inst: DataFrame,
+                          root_seed: str, max_depth: int,
+                          driver_threshold: int, galois: bool) -> dict[str, DataFrame]:
     # ONE fused job decides the branch AND feeds the driver pass: collect
     # at most threshold+1 concept rows — if we got ≤ threshold, that IS the
     # full exact-intent table (limit short-circuits the scan otherwise)
@@ -237,7 +308,6 @@ def build_hierarchy(instances: DataFrame, root_seed: str = "c",
         intents = intents.unionByName(extra)
     # ensure the ⊤ root (empty intent) exists exactly once: union a zero-
     # count root row and merge — avoids a blocking existence-check job
-    spark = instances.sparkSession
     root_row = spark.createDataFrame(
         [(ROOT_ID, [], 0, 0)], "cid string, intent array<string>, size int, n_exact long"
     )

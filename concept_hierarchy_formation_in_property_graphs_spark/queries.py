@@ -634,6 +634,84 @@ eap AS (
 
 
 @_register(
+    "kg_incremental_hierarchy",
+    f"""
+WITH RECURSIVE {_PARENTS_SQL.strip()},
+allnodes AS (
+  SELECT cid, parent_cid, n_exact FROM parents
+  UNION ALL SELECT '', NULL, 0
+),
+haskids AS (SELECT DISTINCT parent_cid AS cid FROM parents),
+residuals AS (
+  SELECT a.cid || ',*' AS cid, a.cid AS parent_cid, a.n_exact
+  FROM allnodes a JOIN haskids h ON a.cid = h.cid
+  WHERE a.n_exact > 0
+),
+tree0 AS (
+  SELECT a.cid, a.parent_cid,
+         CASE WHEN h.cid IS NOT NULL AND a.n_exact > 0 THEN 0
+              ELSE a.n_exact END AS n_exact,
+         h.cid IS NULL AS is_leaf
+  FROM allnodes a LEFT JOIN haskids h ON a.cid = h.cid
+  UNION ALL
+  SELECT cid, parent_cid, n_exact, TRUE FROM residuals
+),
+depths AS (
+  SELECT '' AS cid, 0 AS depth
+  UNION ALL
+  SELECT t.cid, d.depth + 1 FROM tree0 t JOIN depths d ON t.parent_cid = d.cid
+),
+closure AS (
+  SELECT cid AS "desc", cid AS anc FROM tree0
+  UNION ALL
+  SELECT c."desc", t.parent_cid
+  FROM closure c JOIN tree0 t ON c.anc = t.cid
+  WHERE t.parent_cid IS NOT NULL
+),
+counts AS (
+  SELECT c.anc AS cid, sum(t.n_exact) AS cnt
+  FROM closure c JOIN tree0 t ON c."desc" = t.cid
+  WHERE t.n_exact > 0
+  GROUP BY c.anc
+)
+SELECT t.cid, t.parent_cid, d.depth,
+       CAST(COALESCE(k.cnt, 0) AS BIGINT) AS count, t.is_leaf
+FROM tree0 t
+JOIN depths d ON t.cid = d.cid
+LEFT JOIN counts k ON t.cid = k.cid
+""",
+)
+def kg_incremental_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance (O3/O4/O5 as order-free state merges,
+    `operators/concepts.update_hierarchy`): the instance table arrives in
+    TWO batches (deterministic hash split); the second update must land on
+    the SAME tree the batch oracle computes over all instances at once —
+    the incremental==batch property, value-hash-gated by the driver."""
+    from .operators.concepts import RESIDUAL_SUFFIX, SEP, update_hierarchy
+
+    edges = tpch_edges(spark, sf_dir)
+    cs = characteristic_sets(None, edges)
+    inst = cs.select(
+        F.col("id").alias("instance_id"), F.col("rel_types").alias("intent")
+    )
+    first = inst.where(md5_long(F.col("instance_id")) % 2 == 0)
+    second = inst.where(md5_long(F.col("instance_id")) % 2 == 1)
+    o1 = update_hierarchy(None, first)
+    o2 = update_hierarchy(o1["state"], second)
+    c = o2["concepts"]
+    tr = lambda col: F.replace(  # noqa: E731
+        F.replace(col, F.lit(SEP), F.lit(",")), F.lit(RESIDUAL_SUFFIX), F.lit(",*")
+    )
+    return c.select(
+        tr(F.col("concept_id")).alias("cid"),
+        tr(F.col("parent_id")).alias("parent_cid"),
+        "depth",
+        F.col("count"),
+        "is_leaf",
+    )
+
+
+@_register(
     "kg_eap",
     f"""
 WITH {_EAP_PREP_SQL.strip()}
