@@ -143,6 +143,86 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 43_200) -> DataFrame:
     )
 
 
+def run_hierarchy_stream(instances_stream: DataFrame, state_dir: str,
+                         timeout_sec: int = 300, galois: bool = False):
+    """Streaming concept-hierarchy maintenance: every micro-batch of
+    instances (instance_id, intent ARRAY<STRING>) merges its concept-sized
+    intent-state delta via ``concepts.update_hierarchy`` — the streaming
+    form of the reference's incremental Cobweb insertion, order-free.
+
+    State layout under ``state_dir``:
+      state/v{batch_id}/   versioned intent-state snapshots (tiny)
+      CURRENT              pointer to the committed version
+      inst/                append-only instance→cid map
+    Versioned writes (never overwrite the file being read) + the pointer
+    update as the commit point make each batch idempotent-ish for the
+    at-least-once foreachBatch contract; a replayed batch rewrites its own
+    version directory and repoints.
+
+    Returns the completed StreamingQuery; read the result with
+    ``load_hierarchy_state`` + ``concepts.update_hierarchy`` or
+    ``hierarchy_from_state_dir``.
+    """
+    import os
+
+    from .concepts import _canonical_intents, intent_state, merge_intent_state
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = load_hierarchy_state(spark, state_dir)
+        delta = intent_state(batch_df)
+        state = delta if prev is None else merge_intent_state(prev, delta)
+        vdir = os.path.join(state_dir, "state", f"v{batch_id}")
+        state.write.mode("overwrite").parquet(vdir)
+        _canonical_intents(batch_df).write.mode("append").parquet(
+            os.path.join(state_dir, "inst")
+        )
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    q = (
+        instances_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", state_dir + "/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("hierarchy stream did not drain")
+    return q
+
+
+def load_hierarchy_state(spark: SparkSession, state_dir: str):
+    """The committed intent-state snapshot, or None before the first batch."""
+    import os
+
+    cur = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, "state", version))
+
+
+def hierarchy_from_state_dir(spark: SparkSession, state_dir: str,
+                             galois: bool = False) -> dict:
+    """Materialize the full hierarchy tables from a stream's state dir."""
+    import os
+
+    from .concepts import _hierarchy_from_state
+
+    state = load_hierarchy_state(spark, state_dir)
+    if state is None:
+        raise ValueError(f"no committed state under {state_dir}")
+    inst = spark.read.parquet(os.path.join(state_dir, "inst"))
+    return _hierarchy_from_state(
+        spark, state, inst, root_seed="c", max_depth=64,
+        driver_threshold=200_000, galois=galois,
+    )
+
+
 def run_stream_available_now(result: DataFrame, query_name: str,
                              checkpoint_dir: str, timeout_sec: int = 120,
                              output_mode: str = "complete"):

@@ -99,3 +99,54 @@ def test_stateful_sessionization_stream_equals_batch(spark):
     finally:
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_streaming_hierarchy_equals_batch_build(spark):
+    """Streaming concept maintenance (foreachBatch + versioned intent
+    state) over three micro-batches must land on exactly the hierarchy a
+    batch build computes over all instances at once."""
+    import os
+    import random
+    import time
+
+    import pandas as pd
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
+        build_hierarchy,
+    )
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        hierarchy_from_state_dir,
+        run_hierarchy_stream,
+    )
+
+    rows = [
+        (f"i{k:03d}", sorted({random.Random(900 + k).choice("abcde") for _ in range(3)}))
+        for k in range(60)
+    ]
+    src_dir = tempfile.mkdtemp(prefix="chf_hstream_src_")
+    state_dir = tempfile.mkdtemp(prefix="chf_hstream_state_")
+    try:
+        for i in range(3):
+            chunk = rows[i * 20:(i + 1) * 20]
+            p = os.path.join(src_dir, f"{i}.parquet")
+            pd.DataFrame(chunk, columns=["instance_id", "intent"]).to_parquet(p)
+            os.utime(p, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema("instance_id string, intent array<string>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        run_hierarchy_stream(stream, state_dir, galois=True)
+        got = hierarchy_from_state_dir(spark, state_dir, galois=True)
+        batch = build_hierarchy(_inst_df(spark, rows), galois=True)
+        for key in ("concepts", "assignments", "closure"):
+            assert sorted(map(tuple, got[key].collect())) == sorted(
+                map(tuple, batch[key].collect())
+            ), f"stream != batch in {key}"
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def _inst_df(spark, rows):
+    return spark.createDataFrame(rows, "instance_id string, intent array<string>")
