@@ -352,13 +352,54 @@ SELECT DISTINCT src AS subj, rel_type AS pred, dst AS obj FROM edges
 )
 def kg_record_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 graft — record→typed-edges emission with MERGE-style dedup
-    (`src/main/cypher/load_yelp.cql:1-111`)."""
-    return (
-        tpch_edges(spark, sf_dir)
-        .select(F.col("src").alias("subj"), F.col("rel_type").alias("pred"),
-                F.col("dst").alias("obj"))
-        .dropDuplicates(["subj", "pred", "obj"])
+    (`src/main/cypher/load_yelp.cql:1-111`).
+
+    Dedup is pushed to where duplicates can EXIST: the customer/supplier/
+    orders branches are key-unique by construction (one row per key), so
+    only the two lineitem-derived edge kinds shuffle — and they dedup on
+    their NUMERIC key pairs BEFORE the node-id strings are built. The
+    shuffle carries two ~600k×16-byte streams instead of 1.37M fat triple
+    strings; branches have disjoint predicates, so the union needs no
+    further distinct."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def node(prefix: str, col) -> F.Column:
+        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+
+    contains = (
+        li.select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+        .select(node("ord", "l_orderkey").alias("subj"),
+                F.lit("CONTAINS").alias("pred"),
+                node("part", "l_partkey").alias("obj"))
     )
+    supplied = (
+        li.select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+        .select(node("part", "l_partkey").alias("subj"),
+                F.lit("SUPPLIED_BY").alias("pred"),
+                node("supp", "l_suppkey").alias("obj"))
+    )
+    parts = [
+        cust.select(node("cust", "c_custkey").alias("subj"),
+                    F.lit("IN_NATION").alias("pred"),
+                    node("nat", "c_nationkey").alias("obj")),
+        supp.select(node("supp", "s_suppkey").alias("subj"),
+                    F.lit("IN_NATION").alias("pred"),
+                    node("nat", "s_nationkey").alias("obj")),
+        orders.select(node("ord", "o_orderkey").alias("subj"),
+                      F.lit("PLACED_BY").alias("pred"),
+                      node("cust", "o_custkey").alias("obj")),
+        contains,
+        supplied,
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @_register(

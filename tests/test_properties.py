@@ -104,3 +104,80 @@ def test_salted_join_equals_plain_join(spark):
     salted = sorted(map(tuple, salted_dim_join(fact, dim, "key", n_salt=8)
                         .select("key", "payload", "dimval").collect()))
     assert plain == salted and len(plain) == 2000
+
+
+def test_connected_components_equals_union_find(spark):
+    """Path-halving min-label CC == classic union-find on random graphs
+    (self-loops dropped; component label = min member id)."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.linking import (
+        connected_components,
+    )
+
+    for seed in (1, 2, 3):
+        rnd = random.Random(seed)
+        n = 40
+        edges = [
+            (f"v{rnd.randrange(n):02d}", f"v{rnd.randrange(n):02d}")
+            for _ in range(45)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in {x for e in edges for x in e}}
+        assert got == want, seed
+
+
+def test_sessionize_batch_equals_pure_python(spark):
+    """Gap sessionization == a straightforward per-user Python scan on
+    random integer-second event streams."""
+    import datetime
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        sessionize_batch,
+    )
+
+    rnd = random.Random(13)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for uid in range(6):
+        t = 0
+        for _ in range(rnd.randrange(5, 25)):
+            t += rnd.randrange(1, 9000)
+            rows.append((uid, base + datetime.timedelta(seconds=t), round(rnd.random(), 2)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["sum_value"], 2))
+        for r in sessionize_batch(df, gap_sec=3600).collect()
+    }
+
+    want = set()
+    by_user: dict[int, list] = {}
+    for uid, ts, val in rows:
+        by_user.setdefault(uid, []).append((ts, val))
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0]]
+        for ts, val in evs[1:]:
+            if (ts - cur[-1][0]).total_seconds() > 3600:
+                want.add((uid, cur[0][0], cur[-1][0], len(cur),
+                          round(sum(v for _, v in cur), 2)))
+                cur = []
+            cur.append((ts, val))
+        want.add((uid, cur[0][0], cur[-1][0], len(cur),
+                  round(sum(v for _, v in cur), 2)))
+    assert got == want
