@@ -324,3 +324,14 @@ def test_incremental_update_order_free(spark):
         assert sorted(map(tuple, ab[key].collect())) == sorted(
             map(tuple, ba[key].collect())
         ), f"order dependence in {key}"
+
+
+def test_empty_inputs_degenerate_gracefully(spark):
+    """Empty instance table → root-only hierarchy, empty assignments; the
+    degenerate inputs a scheduled production run will eventually see."""
+    empty = _instances(spark, [])
+    h = build_hierarchy(empty, galois=True)
+    rows = h["concepts"].collect()
+    assert [r["concept_id"] for r in rows] == [""]
+    assert rows[0]["label"] == "c" and rows[0]["count"] == 0 and rows[0]["is_leaf"]
+    assert h["assignments"].count() == 0
