@@ -325,6 +325,38 @@ def ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ev_asof_last_purchase",
+    """
+SELECT a.event_id, a.user_id, a.ts, a.event_type,
+       b.purchase_ts, b.purchase_value
+FROM events a ASOF LEFT JOIN (
+  SELECT user_id, ts, ts AS purchase_ts, "value" AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+) b ON a.user_id = b.user_id AND a.ts >= b.ts
+""",
+)
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (`operators/asof.asof_join` — union + ordered window,
+    one shuffle, no pandas): every event annotated with the user's latest
+    purchase at-or-before it. The DuckDB twin is the native ASOF LEFT
+    JOIN, so semantics are value-hash-gated."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on="ts", by="user_id",
+        right_cols=["purchase_ts", "purchase_value"],
+    )
+
+
+@_register(
     "q_deterministic_sample",
     f"""
 SELECT doc_id FROM documents

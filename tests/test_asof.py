@@ -1,0 +1,32 @@
+"""As-of join semantics: backward-inclusive, per-key, left-outer."""
+
+from __future__ import annotations
+
+import datetime
+
+from concept_hierarchy_formation_in_property_graphs_spark.operators.asof import (
+    asof_join,
+)
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_backward_inclusive_left_outer(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(10)), (3, "u", _ts(2)), (4, "v", _ts(7))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(5), 50.0), ("u", _ts(9), 90.0), ("v", _ts(8), 80.0)],
+        "user_id string, ts timestamp, quote double",
+    )
+    got = {
+        r["event_id"]: r["quote"]
+        for r in asof_join(left, right, right_cols=["quote"]).collect()
+    }
+    assert got[1] == 50.0      # tie is INCLUSIVE: right@5 visible to left@5
+    assert got[2] == 90.0      # latest of the two prior quotes
+    assert got[3] is None      # no prior quote → left-outer NULL
+    assert got[4] is None      # v's only quote is AFTER the event
