@@ -325,6 +325,37 @@ def ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_cube_returns",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    pass — Catalyst expands to a single Expand + hash aggregate (no
+    4× rescans); the aggregated-out dimension is surfaced as 'ALL'
+    (same convention both engines; the raw columns are never NULL here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows", "sum_qty",
+        )
+    )
+
+
+@_register(
     "ev_asof_last_purchase",
     """
 SELECT a.event_id, a.user_id, a.ts, a.event_type,

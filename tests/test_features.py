@@ -79,3 +79,26 @@ def test_characteristic_sets_sorted_undirected(spark):
     assert got["B"] == ["a_rel", "z_rel"]
     assert got["C"] == ["a_rel"]
     assert got["D"] == []  # isolated -> empty intent
+
+
+def test_approximate_aggregates_within_tolerance(spark):
+    """The 100 TB profiling path: sketch-based aggregates
+    (approx_count_distinct HLL++, percentile_approx) must land within
+    their documented error of the exact answers — these replace exact
+    count-distinct/sort-based quantiles when the key cardinality itself
+    is the bottleneck."""
+    from pyspark.sql import functions as F
+
+    from concept_hierarchy_formation_in_property_graphs_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    ).first()
+    assert abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"] < 0.05
+    assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.01
