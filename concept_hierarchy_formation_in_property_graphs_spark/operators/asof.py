@@ -24,6 +24,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_self_join(events: DataFrame, id_col: str = "event_id",
+                    on: str = "ts", window_sec: int = 300,
+                    payload: list[str] | None = None) -> DataFrame:
+    """All pairs of rows within ``window_sec`` of each other — the pure
+    RANGE join (no equi key), which Spark would otherwise plan as a
+    BroadcastNestedLoopJoin/cartesian.
+
+    Bucketize-then-equi-join: each row lands in bucket floor(t/width) and
+    additionally probes with the predecessor bucket, so every |Δt| ≤ width
+    pair meets in exactly the later row's bucket-pairing — candidates are
+    O(rows × bucket density), not O(n²), and the join key is a shuffle-
+    friendly integer. Exact |Δt| filter afterwards; emits id_a < id_b once.
+    At 100 TB ``window_sec`` controls the candidate blow-up explicitly —
+    the knob a cartesian hides.
+    """
+    payload = payload or []
+    base = events.select(
+        F.col(id_col).alias("_id"),
+        F.unix_micros(F.col(on).cast("timestamp")).alias("_t")
+        if dict(events.dtypes)[on].startswith("timestamp")
+        else F.col(on).cast("long").alias("_t"),
+        *payload,
+    )
+    width = window_sec * 1_000_000
+    bucketed = base.withColumn("_b", F.floor(F.col("_t") / width))
+    probes = bucketed.select(
+        "*", F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_pb")
+    )
+    a = bucketed.alias("a")
+    b = probes.alias("b")
+    pairs = (
+        a.join(b, F.col("a._b") == F.col("b._pb"))
+        .where(F.col("a._id") != F.col("b._id"))
+        .where(F.abs(F.col("a._t") - F.col("b._t")) <= width)
+        # each qualifying unordered pair meets exactly once per probe match;
+        # canonicalize and dedupe the (own-bucket, adjacent-bucket) overlap
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+            F.abs(F.col("a._t") - F.col("b._t")).alias("delta_us"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str = "user_id", right_cols: list[str] | None = None,
               suffix: str = "") -> DataFrame:

@@ -388,6 +388,26 @@ def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ev_proximity_pairs",
+    """
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT) AS delta_us
+FROM events a JOIN events b ON a.event_id < b.event_id
+WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 180000000
+""",
+)
+def ev_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure RANGE join (no equi key): all event pairs within 3 minutes,
+    via `operators/asof.range_self_join` — bucketize to an integer
+    equi-key + adjacent-bucket probe instead of the cartesian Spark would
+    otherwise plan. The DuckDB twin is the straight non-equi join."""
+    from .operators.asof import range_self_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return range_self_join(ev, id_col="event_id", on="ts", window_sec=180)
+
+
+@_register(
     "q_deterministic_sample",
     f"""
 SELECT doc_id FROM documents
@@ -1407,6 +1427,54 @@ FROM documents
 def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fingerprints(docs)
+
+
+@_register(
+    "tx_quality_filter",
+    f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * least((CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 0.1, 1.0), 4) AS quality4,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                        x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.05
+              THEN 'en' ELSE 'other' END AS lang_pred,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fingerprint
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, quality4, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE quality4 >= 0.5 AND lang_pred = 'en'
+)
+SELECT doc_id, quality4, fingerprint FROM kept WHERE rn = 1
+""",
+)
+def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data admission pipeline in one query: quality score ≥
+    0.5 AND language-ID 'en' AND exact-content dedup (keep the smallest
+    doc_id per fingerprint among survivors) — the composition of three
+    tx_* operators a corpus pipeline actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        quality_scores(docs)
+        .join(language_id(docs), "doc_id")
+        .join(fingerprints(docs), "doc_id")
+        .where((F.col("quality4") >= 0.5) & (F.col("lang_pred") == "en"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "quality4", "fingerprint")
+    )
 
 
 # ---------------------------------------------------------------------------

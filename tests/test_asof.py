@@ -30,3 +30,24 @@ def test_asof_join_backward_inclusive_left_outer(spark):
     assert got[2] == 90.0      # latest of the two prior quotes
     assert got[3] is None      # no prior quote → left-outer NULL
     assert got[4] is None      # v's only quote is AFTER the event
+
+
+def test_range_self_join_equals_bruteforce(spark):
+    """Bucketized range join == O(n²) brute force on a crafted stream,
+    including pairs that straddle a bucket boundary."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.asof import (
+        range_self_join,
+    )
+
+    rows = [(i, _ts(0) + datetime.timedelta(seconds=s))
+            for i, s in enumerate([0, 50, 119, 121, 400, 430, 900])]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {(r["id_a"], r["id_b"]) for r in
+           range_self_join(df, window_sec=120).collect()}
+    want = {
+        (a, b)
+        for ai, (a, ta) in enumerate(rows)
+        for b, tb in rows[ai + 1:]
+        if abs((ta - tb).total_seconds()) <= 120
+    }
+    assert got == want and (2, 3) in got  # 119 vs 121 straddles the boundary
