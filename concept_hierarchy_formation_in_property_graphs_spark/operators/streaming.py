@@ -50,6 +50,39 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def rollup_time_buckets(events: DataFrame, ts_col: str = "ts",
+                        keys: tuple[str, ...] = ("event_type",),
+                        value_col: str = "value") -> dict[str, DataFrame]:
+    """Hypertable-style continuous-aggregate ladder: hourly buckets from
+    the raw events, DAILY buckets re-aggregated FROM THE HOURLY table —
+    each coarser granularity reads the previous rollup (hours per day,
+    not raw rows per day), which is what makes a year of 100 TB telemetry
+    re-aggregable in seconds. count/sum compose losslessly; min/max too;
+    avg is carried as (sum, count).
+
+    Returns {"hourly": df, "daily": df} with
+    (bucket, *keys, n_events, sum_value).
+    """
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", ts_col).alias("bucket"), *keys
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket").alias("bucket"), *keys
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    r2 = lambda df: df.withColumn("sum_value", F.round("sum_value", 2))  # noqa: E731
+    return {"hourly": r2(hourly), "daily": r2(daily)}
+
+
 def sessionize_batch(events: DataFrame, gap_sec: int = 43_200) -> DataFrame:
     """Gap-based sessionization, batch form: a new session starts when the
     inter-event gap within a user exceeds ``gap_sec``. Classic lag →

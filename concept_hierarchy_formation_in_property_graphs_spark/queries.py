@@ -356,6 +356,26 @@ def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ev_rollup_daily",
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum("value"), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup ladder (`operators/streaming.rollup_time_buckets`):
+    the DAILY aggregate is computed FROM the hourly rollup, not the raw
+    events — the oracle goes straight from raw rows, so the hash match
+    proves the ladder re-aggregation is lossless."""
+    from .operators.streaming import rollup_time_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_time_buckets(ev)["daily"]
+
+
+@_register(
     "ev_asof_last_purchase",
     """
 SELECT a.event_id, a.user_id, a.ts, a.event_type,
