@@ -289,7 +289,13 @@ def _hierarchy_from_state(spark, exact: DataFrame, inst: DataFrame,
         else None
     )
     if probe is not None and len(probe) <= driver_threshold:
-        return _hierarchy_driver(spark, inst, probe, root_seed, galois)
+        out = _hierarchy_driver(spark, inst, probe, root_seed, galois)
+        if out is not None:
+            return out
+        _log.info(
+            "build_hierarchy: driver fast path over budget "
+            "(hub-item fan-out); using the distributed branch"
+        )
 
     # lazy checkpoint: materialized by the first downstream job, then
     # reused — truncates lineage without a separate synchronous job
@@ -494,11 +500,23 @@ def _hierarchy_from_state(spark, exact: DataFrame, inst: DataFrame,
     return {"concepts": concepts, "assignments": assignments, "closure": closure}
 
 
+# Candidate-probe budget for the pure-Python subsumption pass: the exact
+# work is Σ_item |rarest-registered(item)| · freq(item), computable BEFORE
+# doing it. Above this, Python would crawl (hub items on small alphabets
+# make the pass quadratic) — bail to the distributed branch, which spreads
+# the same fan-out across executors. ~20M set-ops ≈ a few seconds driver-side.
+DRIVER_SUBSUMPTION_BUDGET = 20_000_000
+# Galois closure driver cap: bail if the closed set grows past this.
+DRIVER_CLOSURE_CAP = 250_000
+
+
 def _hierarchy_driver(spark, inst: DataFrame, exact_rows, root_seed: str,
-                      galois: bool) -> dict[str, DataFrame]:
+                      galois: bool):
     """Concept-side computation on the collected exact-intent table —
     byte-identical semantics to the distributed path (see the parity tests
     in tests/test_concepts.py), at the cost of ONE already-paid Spark job.
+    Returns None when the estimated Python work exceeds the budget
+    (caller falls back to the distributed branch, same results).
 
     Pure-Python mirrors of the distributed steps:
       * Galois closure: frontier×generators intersection fixpoint
@@ -530,6 +548,8 @@ def _hierarchy_driver(spark, inst: DataFrame, exact_rows, root_seed: str,
                     if x and x not in closed:
                         new.add(x)
             closed |= new
+            if len(closed) > DRIVER_CLOSURE_CAP:
+                return None
             frontier = new
         for s in closed:
             t = tuple(sorted(s))
@@ -552,6 +572,9 @@ def _hierarchy_driver(spark, inst: DataFrame, exact_rows, root_seed: str,
         if t:
             rare = min(t, key=lambda i: (freq[i], i))
             by_rare.setdefault(rare, []).append(cid)
+    est_work = sum(len(v) * freq[i] for i, v in by_rare.items())
+    if est_work > DRIVER_SUBSUMPTION_BUDGET:
+        return None
     parent: dict[str, str | None] = {}
     for cid, t in intent_of.items():
         if cid == ROOT_ID:

@@ -335,3 +335,24 @@ def test_empty_inputs_degenerate_gracefully(spark):
     assert [r["concept_id"] for r in rows] == [""]
     assert rows[0]["label"] == "c" and rows[0]["count"] == 0 and rows[0]["is_leaf"]
     assert h["assignments"].count() == 0
+
+
+def test_driver_budget_guard_falls_back_to_distributed(spark, monkeypatch):
+    """When the estimated Python subsumption work exceeds the budget, the
+    driver fast path must bail and the distributed branch must produce the
+    identical hierarchy (hub-item fan-out safety)."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators import (
+        concepts as C,
+    )
+
+    rows = [
+        (f"i{k}", sorted({random.Random(40 + k).choice("abc") for _ in range(2)}))
+        for k in range(50)
+    ]
+    normal = build_hierarchy(_instances(spark, rows), galois=True)
+    monkeypatch.setattr(C, "DRIVER_SUBSUMPTION_BUDGET", 1)
+    forced = build_hierarchy(_instances(spark, rows), galois=True)
+    for key in ("concepts", "assignments", "closure"):
+        assert sorted(map(tuple, normal[key].collect())) == sorted(
+            map(tuple, forced[key].collect())
+        ), key
