@@ -179,6 +179,69 @@ def edge_precision_recall(got: set[tuple[str, str]],
 
 
 # ---------------------------------------------------------------------------
+# P4 tail — single-linkage dendrogram: linkage matrix + bracket flattening
+# (`clustering_survey.py:86-100`, `tree_edit_distance.py:53-124`)
+# ---------------------------------------------------------------------------
+
+
+def single_linkage_matrix(n: int,
+                          dist_pairs: list[tuple[int, int, float]]
+                          ) -> list[tuple[int, int, float, int]]:
+    """scipy-format linkage matrix [(a, b, dist, size), ...] from pairwise
+    distances, via Kruskal-order union-find — processing pairs by ascending
+    distance IS single linkage (min inter-cluster distance ≡ MST edges).
+    Leaves are 0..n−1; merge k creates cluster n+k. Driver-side by design:
+    it scores a COLLECTED sample (the reference caps its survey at 6561
+    samples); the distances come from the distributed
+    `dedup.exact_jaccard_pairs` / LSH pipeline.
+
+    Pairs omitted from ``dist_pairs`` are treated as infinitely far; the
+    result is then a forest (fewer than n−1 merges).
+    """
+    parent = list(range(n)) + [-1] * max(n - 1, 0)
+    cluster_of = list(range(n))  # root id -> current cluster id
+    size = {i: 1 for i in range(n)}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    merges: list[tuple[int, int, float, int]] = []
+    next_id = n
+    for i, j, d in sorted(dist_pairs, key=lambda p: (p[2], p[0], p[1])):
+        ri, rj = find(i), find(j)
+        if ri == rj:
+            continue
+        ca, cb = sorted((cluster_of[ri], cluster_of[rj]))
+        sz = size[ri] + size[rj]
+        merges.append((ca, cb, d, sz))
+        parent[rj] = ri
+        cluster_of[ri] = next_id
+        size[ri] = sz
+        next_id += 1
+        if len(merges) == n - 1:
+            break
+    return merges
+
+
+def linkage_to_bracket(n: int,
+                       merges: list[tuple[int, int, float, int]],
+                       names: list[str] | None = None) -> str:
+    """Flatten a linkage matrix to the bracket notation apted.jar consumes
+    (`tree_edit_distance.py:53-124`); internal nodes are named c<k>."""
+    names = names or [str(i) for i in range(n)]
+    sub: dict[int, str] = {i: "{" + names[i] + "}" for i in range(n)}
+    for k, (a, b, _d, _sz) in enumerate(merges):
+        sub[n + k] = "{c" + str(k) + sub.pop(a) + sub.pop(b) + "}"
+    roots = [sub[k] for k in sorted(sub)]
+    if len(roots) == 1:
+        return roots[0]
+    return "{forest" + "".join(roots) + "}"
+
+
+# ---------------------------------------------------------------------------
 # P8 — tree edit distance (Zhang-Shasha) over bracket trees
 # ---------------------------------------------------------------------------
 

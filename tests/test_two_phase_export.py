@@ -86,3 +86,56 @@ def test_cluster_representatives_intersection(spark):
         for r in cluster_representatives(members, "cluster", "items").collect()
     }
     assert got == {"g1": ["b", "c"], "g2": ["x", "y"], "g3": []}
+
+
+def test_single_linkage_matrix_and_cut_equals_components(spark):
+    """P4 tail: Kruskal-order union-find IS single linkage — verify (a)
+    scipy-shape invariants (non-decreasing distances, correct sizes) and
+    (b) the dendrogram cut at distance d equals the connected components
+    of the ≤d distance graph (computed by the DISTRIBUTED CC operator,
+    cross-validating the two implementations), and (c) the bracket
+    flattening parses back through the TED machinery."""
+    import random
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.export import (
+        linkage_to_bracket,
+        single_linkage_matrix,
+        tree_edit_distance,
+    )
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.linking import (
+        connected_components,
+    )
+
+    rnd = random.Random(21)
+    n = 24
+    pairs = [
+        (i, j, round(rnd.random(), 3))
+        for i in range(n) for j in range(i + 1, n)
+        if rnd.random() < 0.4
+    ]
+    merges = single_linkage_matrix(n, pairs)
+    dists = [m[2] for m in merges]
+    assert dists == sorted(dists)
+    assert all(m[3] >= 2 for m in merges)
+
+    cut = 0.35
+    kept = [m for m in merges if m[2] <= cut]
+    # rebuild cluster membership from the kept merges
+    members: dict[int, set[int]] = {i: {i} for i in range(n)}
+    for k, (a, b, _d, _s) in enumerate(merges):
+        if _d <= cut:
+            members[n + k] = members.pop(a) | members.pop(b)
+    py_clusters = {frozenset(v) for v in members.values() if len(v) > 1}
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{j:02d}") for i, j, d in pairs if d <= cut],
+        "src string, dst string",
+    )
+    comp: dict[str, list] = {}
+    for r in connected_components(edges).collect():
+        comp.setdefault(r["component"], []).append(int(r["id"][1:]))
+    cc_clusters = {frozenset(v) for v in comp.values()}
+    assert py_clusters == cc_clusters
+
+    bracket = linkage_to_bracket(n, merges)
+    assert tree_edit_distance(bracket, bracket) == 0  # parses + self-distance
