@@ -28,6 +28,11 @@ AUDIT = [
     "sim_ivf_ann",
     "sim_lsh_ann_multiprobe",
     "ev_sessions",
+    "ev_asof_last_purchase",
+    "ev_proximity_pairs",
+    "ev_rollup_daily",
+    "q_cube_returns",
+    "tx_quality_filter",
     "q_deterministic_sample",
 ]
 
