@@ -95,7 +95,9 @@ def test_open_vocab_canonicalization(spark):
     wd = tempfile.mkdtemp(prefix="chf_ov_")
     try:
         # pages embed 60 entities; the pipeline only knows the first 45
-        pages = pages_spark_df(spark, 400, n_entities=60)
+        # (240 pages keep every unknown entity observed with both aliases
+        # while halving this — the suite's slowest — test's wall time)
+        pages = pages_spark_df(spark, 240, n_entities=60)
         out = run_pipeline(spark, pages, wd, n_entities=45, open_vocab=True,
                            mention_entities=60)
         links = {r["surface"]: r["canonical"]
