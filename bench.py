@@ -10,6 +10,22 @@ JSON line:
      "pipeline": {"pages": P, "triples": T, "triples_per_sec": R,
                   "pages_per_sec": R2}, "cpus": C}
 
+Methodology (round-3 hardening — the round-2 numbers were single-shot and
+order-sensitive, which hid a regression):
+  * every measurement is the MEDIAN of $SPARK_GRAFT_BENCH_ROUNDS (default
+    3) runs; the per-run values are reported under "runs" for variance
+    inspection;
+  * the end-to-end pipeline is timed FIRST, before the memory-heavy
+    similarity/dedup queries, so the headline metric never inherits GC
+    pressure from an unrelated section;
+  * a short settle sleep (default 15 s, $SPARK_GRAFT_BENCH_SETTLE) lets
+    load from a just-finished process (e.g. a pytest run) drain before
+    timing starts — this VM's run-to-run variance is dominated by
+    load-average spillover;
+  * queries run as full interleaved sweeps (q1..qN, q1..qN, ...) rather
+    than back-to-back repeats, so no query's median benefits from its own
+    just-warmed page cache more than the others.
+
 Scaling evidence (north rule): run twice, SPARK_GRAFT_CPUS=8 then =32, on
 identical input; efficiency = T_8 / (4 * T_32).
 """
@@ -19,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -52,6 +69,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
     n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "500"))
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "15"))
 
     from concept_hierarchy_formation_in_property_graphs_spark import queries as q
     from concept_hierarchy_formation_in_property_graphs_spark.session import get_spark
@@ -59,22 +78,18 @@ def main() -> None:
     spark = get_spark(app_name="chf-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    if settle > 0:
+        time.sleep(settle)
+
     reg = q.registry()
     # JVM/JIT + python-worker warmup so per-query numbers are steady-state
     # (a long-lived cluster's first job is not the benchmark)
     reg["q_deterministic_sample"](spark, sf_dir).count()
     reg["q1_pricing_summary"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = reg[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-
     # end-to-end pipeline: pages -> ... -> concept hierarchy (checkpointed,
-    # the production shape incl. snapshot writes)
+    # the production shape incl. snapshot writes). Timed before the
+    # query sweeps — see module docstring.
     from concept_hierarchy_formation_in_property_graphs_spark.fixtures.pages import (
         pages_spark_df,
     )
@@ -86,13 +101,39 @@ def main() -> None:
         spark, n_pages, n_entities=n_entities, partitions=max(cpus, 8)
     ).cache()
     pages.count()  # exclude driver-side fixture generation from the timing
-    wd = tempfile.mkdtemp(prefix="chf_bench_")
-    t0 = time.time()
-    out = run_pipeline(spark, pages, wd, n_entities=n_entities)
-    n_triples = out["triples"].count()
-    out["concepts"].count()
-    pipeline_sec = round(time.time() - t0, 3)
-    shutil.rmtree(wd, ignore_errors=True)
+    pipeline_runs: list[float] = []
+    n_triples = 0
+    for _ in range(rounds):
+        wd = tempfile.mkdtemp(prefix="chf_bench_")
+        t0 = time.time()
+        out = run_pipeline(spark, pages, wd, n_entities=n_entities)
+        n_triples = out["triples"].count()
+        out["concepts"].count()
+        pipeline_runs.append(round(time.time() - t0, 3))
+        shutil.rmtree(wd, ignore_errors=True)
+        print(f"# pipeline run: {pipeline_runs[-1]}s", file=sys.stderr)
+    pages.unpersist()
+    pipeline_sec = round(statistics.median(pipeline_runs), 3)
+
+    # interleaved query sweeps; median per query
+    query_runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    row_counts: dict[str, int] = {}
+    for _ in range(rounds):
+        for name in BENCH_QUERIES:
+            fn = reg[name]
+            t0 = time.time()
+            row_counts[name] = fn(spark, sf_dir).count()
+            query_runs[name].append(round(time.time() - t0, 3))
+    timings = {
+        name: round(statistics.median(runs), 3)
+        for name, runs in query_runs.items()
+    }
+    for name in BENCH_QUERIES:
+        print(
+            f"# {name}: {timings[name]}s ({row_counts[name]} rows; "
+            f"runs {query_runs[name]})",
+            file=sys.stderr,
+        )
 
     result = {
         "metric": "e2e_pipeline_sec",
@@ -106,6 +147,11 @@ def main() -> None:
             "triples": n_triples,
             "pages_per_sec": round(n_pages / pipeline_sec, 2),
             "triples_per_sec": round(n_triples / pipeline_sec, 2),
+        },
+        "runs": {
+            "rounds": rounds,
+            "pipeline": pipeline_runs,
+            "queries": query_runs,
         },
     }
     print(json.dumps(result))
