@@ -68,16 +68,19 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "sig",
     it hash-partitions evenly; AQE skew-join splits any hot bucket (a giant
     cluster of near-identical strings is the skew case here). ``max_bucket``
     > 0 bounds the quadratic: buckets larger than the cap are CHAINED
-    instead of self-joined — sorted by id, each member pairs only with its
-    successor (B−1 pairs instead of B·(B−1)/2). Unlike the dedup guard
+    instead of self-joined — sorted by id, each member pairs with its two
+    predecessors (≈2B pairs instead of B·(B−1)/2). Unlike the dedup guard
     (`dedup.minhash_near_dup_pairs`), which drops hot buckets outright,
-    chaining keeps every bucket member CONNECTED, which is all the
-    downstream connected-components needs — a boilerplate mega-cluster of
-    near-identical surfaces still collapses to one canonical form, at
-    linear rather than quadratic cost. (Chain pairs still pass through the
-    exact-Jaccard verify; sorted neighbours in a near-identical cluster are
-    the highest-similarity pairs, so verified connectivity is preserved.)
-    The number of chained buckets is logged.
+    chaining keeps bucket members connected at linear rather than
+    quadratic cost — a boilerplate mega-cluster of near-identical surfaces
+    still collapses to one canonical form. Chain pairs still pass through
+    the exact-Jaccard verify, and the id ordering is lexicographic, NOT
+    similarity order, so post-verify connectivity is BEST-EFFORT once the
+    cap triggers: a single failed chain link could split a component the
+    full self-join would keep. The 2-predecessor redundancy means a split
+    needs two consecutive verify failures; accepting that residual risk is
+    the cap's explicit trade (the alternative is the quadratic join). The
+    number of chained buckets is logged.
     """
     rows_per_band = num_perm // bands
     # band hash = md5 over the '|'-joined band slice — portable to the
@@ -115,10 +118,19 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "sig",
         banded = sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
         hot = sized.where(F.col("_bsz") > max_bucket).drop("_bsz")
         w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+        # 2-predecessor chain: one verify-failed link alone cannot split
+        # the component (see docstring)
+        hot2 = hot.withColumn("_p1", F.lag(id_col, 1).over(w)).withColumn(
+            "_p2", F.lag(id_col, 2).over(w)
+        )
         chained = (
-            hot.withColumn("_prev", F.lag(id_col).over(w))
-            .where(F.col("_prev").isNotNull())
-            .select(F.col("_prev").alias("src"), F.col(id_col).alias("dst"))
+            hot2.where(F.col("_p1").isNotNull())
+            .select(F.col("_p1").alias("src"), F.col(id_col).alias("dst"))
+            .unionByName(
+                hot2.where(F.col("_p2").isNotNull()).select(
+                    F.col("_p2").alias("src"), F.col(id_col).alias("dst")
+                )
+            )
         )
     else:
         chained = None

@@ -177,7 +177,7 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 43_200) -> DataFrame:
 
 
 def run_hierarchy_stream(instances_stream: DataFrame, state_dir: str,
-                         timeout_sec: int = 300, galois: bool = False):
+                         timeout_sec: int = 300):
     """Streaming concept-hierarchy maintenance: every micro-batch of
     instances (instance_id, intent ARRAY<STRING>) merges its concept-sized
     intent-state delta via ``concepts.update_hierarchy`` — the streaming
@@ -185,35 +185,24 @@ def run_hierarchy_stream(instances_stream: DataFrame, state_dir: str,
 
     State layout under ``state_dir``:
       state/v{batch_id}/   versioned intent-state snapshots (tiny)
-      CURRENT              pointer to the committed version
-      inst/                append-only instance→cid map
-    Versioned writes (never overwrite the file being read) + the pointer
-    update as the commit point make each batch idempotent-ish for the
-    at-least-once foreachBatch contract; a replayed batch rewrites its own
-    version directory and repoints.
+      CURRENT              pointer to the committed version (readers only)
+      inst/b{batch_id}/    per-batch instance→cid map
+    REPLAY SAFETY (foreachBatch is at-least-once): the handler never
+    derives its input from CURRENT — a crash between the CURRENT repoint
+    and the stream-checkpoint commit would make CURRENT already contain
+    batch N, so a replay reading it would merge the delta twice. Instead
+    prev = the highest _SUCCESS-committed version STRICTLY BELOW batch_id,
+    which a replay of batch N reproduces exactly; the instance map writes
+    to a per-batch directory with overwrite, so replays rewrite rather
+    than duplicate. CURRENT is repointed last, purely for readers.
 
     Returns the completed StreamingQuery; read the result with
     ``load_hierarchy_state`` + ``concepts.update_hierarchy`` or
-    ``hierarchy_from_state_dir``.
+    ``hierarchy_from_state_dir`` (pass ``galois`` there — the flag only
+    affects materialization, not the maintained state).
     """
-    import os
-
-    from .concepts import _canonical_intents, intent_state, merge_intent_state
-
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = load_hierarchy_state(spark, state_dir)
-        delta = intent_state(batch_df)
-        state = delta if prev is None else merge_intent_state(prev, delta)
-        vdir = os.path.join(state_dir, "state", f"v{batch_id}")
-        state.write.mode("overwrite").parquet(vdir)
-        _canonical_intents(batch_df).write.mode("append").parquet(
-            os.path.join(state_dir, "inst")
-        )
-        tmp = os.path.join(state_dir, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(f"v{batch_id}")
-        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+        merge_batch_into_state(batch_df, batch_id, state_dir)
 
     q = (
         instances_stream.writeStream.foreachBatch(handle)
@@ -225,6 +214,59 @@ def run_hierarchy_stream(instances_stream: DataFrame, state_dir: str,
         q.stop()
         raise TimeoutError("hierarchy stream did not drain")
     return q
+
+
+def merge_batch_into_state(batch_df: DataFrame, batch_id: int,
+                           state_dir: str) -> None:
+    """The foreachBatch handler body of :func:`run_hierarchy_stream`,
+    exposed module-level so the replay contract is directly testable:
+    calling this twice with the same ``batch_id`` must leave the state
+    byte-identical to calling it once (idempotent replay)."""
+    import os
+
+    from .concepts import _canonical_intents, intent_state, merge_intent_state
+
+    spark = batch_df.sparkSession
+    prev_versions = [
+        v for v in _committed_state_versions(state_dir) if v < batch_id
+    ]
+    prev = (
+        spark.read.parquet(
+            os.path.join(state_dir, "state", f"v{prev_versions[-1]}")
+        )
+        if prev_versions
+        else None
+    )
+    delta = intent_state(batch_df)
+    state = delta if prev is None else merge_intent_state(prev, delta)
+    vdir = os.path.join(state_dir, "state", f"v{batch_id}")
+    state.write.mode("overwrite").parquet(vdir)
+    _canonical_intents(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "inst", f"b{batch_id}")
+    )
+    tmp = os.path.join(state_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+
+def _committed_state_versions(state_dir: str) -> list[int]:
+    """Sorted batch ids whose state/v{id} snapshot finished writing
+    (parquet _SUCCESS marker) — the replay-safe source of truth."""
+    import os
+
+    sdir = os.path.join(state_dir, "state")
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for name in os.listdir(sdir):
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and os.path.exists(os.path.join(sdir, name, "_SUCCESS"))
+        ):
+            out.append(int(name[1:]))
+    return sorted(out)
 
 
 def load_hierarchy_state(spark: SparkSession, state_dir: str):
@@ -249,7 +291,10 @@ def hierarchy_from_state_dir(spark: SparkSession, state_dir: str,
     state = load_hierarchy_state(spark, state_dir)
     if state is None:
         raise ValueError(f"no committed state under {state_dir}")
-    inst = spark.read.parquet(os.path.join(state_dir, "inst"))
+    # per-batch subdirectories (replay-safe overwrite layout)
+    inst = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(state_dir, "inst")
+    )
     return _hierarchy_from_state(
         spark, state, inst, root_seed="c", max_depth=64,
         driver_threshold=200_000, galois=galois,

@@ -427,8 +427,8 @@ def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a.event_id, a.user_id, a.ts, a.event_type,
        b.purchase_ts, b.purchase_value
 FROM events a ASOF LEFT JOIN (
-  SELECT user_id, ts, ts AS purchase_ts, "value" AS purchase_value
-  FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, ts AS purchase_ts, max("value") AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 ) b ON a.user_id = b.user_id AND a.ts >= b.ts
 """,
 )
@@ -436,14 +436,22 @@ def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (`operators/asof.asof_join` — union + ordered window,
     one shuffle, no pandas): every event annotated with the user's latest
     purchase at-or-before it. The DuckDB twin is the native ASOF LEFT
-    JOIN, so semantics are value-hash-gated."""
+    JOIN, so semantics are value-hash-gated. Purchases are pre-aggregated
+    per (user_id, ts) — asof_join's documented uniqueness precondition;
+    without it, same-timestamp purchases would make the carried payload
+    window-tie-order dependent (and both engines' picks arbitrary)."""
     from .operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts",
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select(
+            "user_id", "ts",
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+        )
     )
     return asof_join(
         ev.select("event_id", "user_id", "ts", "event_type"),

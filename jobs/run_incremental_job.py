@@ -12,7 +12,7 @@ tables — the production shape of `operators/concepts.update_hierarchy`:
 The batch parquet must have columns (instance_id STRING,
 intent ARRAY<STRING>). The state dir uses the same versioned layout as
 `operators/streaming.run_hierarchy_stream` (state/v{N} + CURRENT pointer +
-append-only inst/), so a batch job and a streaming job can share state.
+per-batch inst/b{N}/), so a batch job and a streaming job can share state.
 Because the lattice is a pure function of the merged state, any batch
 arrival order yields the identical tree (test-enforced).
 """
@@ -59,8 +59,10 @@ def main() -> None:
     existing = [int(v[1:]) for v in os.listdir(versions_dir) if v.startswith("v")]
     version = (max(existing) + 1) if existing else 0
     state.write.mode("overwrite").parquet(os.path.join(versions_dir, f"v{version}"))
-    _canonical_intents(batch).write.mode("append").parquet(
-        os.path.join(args.state_dir, "inst")
+    # per-version subdirectory with overwrite (same replay-safe layout as
+    # run_hierarchy_stream): a re-launched batch rewrites, never duplicates
+    _canonical_intents(batch).write.mode("overwrite").parquet(
+        os.path.join(args.state_dir, "inst", f"b{version}")
     )
     tmp = os.path.join(args.state_dir, "CURRENT.tmp")
     with open(tmp, "w") as f:

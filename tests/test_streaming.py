@@ -136,7 +136,7 @@ def test_streaming_hierarchy_equals_batch_build(spark):
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir)
         )
-        run_hierarchy_stream(stream, state_dir, galois=True)
+        run_hierarchy_stream(stream, state_dir)
         got = hierarchy_from_state_dir(spark, state_dir, galois=True)
         batch = build_hierarchy(_inst_df(spark, rows), galois=True)
         for key in ("concepts", "assignments", "closure"):
@@ -150,3 +150,46 @@ def test_streaming_hierarchy_equals_batch_build(spark):
 
 def _inst_df(spark, rows):
     return spark.createDataFrame(rows, "instance_id string, intent array<string>")
+
+
+def test_hierarchy_stream_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: replaying a micro-batch (crash after
+    the CURRENT repoint but before the stream-checkpoint commit) must leave
+    the persisted state identical to a single delivery — prev is derived
+    from the highest committed version BELOW the batch id, never from
+    CURRENT, and inst/ writes per-batch with overwrite."""
+    import random
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
+        build_hierarchy,
+    )
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        hierarchy_from_state_dir,
+        merge_batch_into_state,
+    )
+
+    rows = [
+        (f"r{k:03d}", sorted({random.Random(70 + k).choice("abcd") for _ in range(3)}))
+        for k in range(40)
+    ]
+    state_dir = tempfile.mkdtemp(prefix="chf_replay_state_")
+    try:
+        merge_batch_into_state(_inst_df(spark, rows[:20]), 0, state_dir)
+        merge_batch_into_state(_inst_df(spark, rows[20:]), 1, state_dir)
+        once = hierarchy_from_state_dir(spark, state_dir)
+        snap = {
+            key: sorted(map(tuple, once[key].collect()))
+            for key in ("concepts", "assignments")
+        }
+        # crash-replay: batch 1 delivered again with CURRENT already at v1
+        merge_batch_into_state(_inst_df(spark, rows[20:]), 1, state_dir)
+        again = hierarchy_from_state_dir(spark, state_dir)
+        for key, want in snap.items():
+            assert sorted(map(tuple, again[key].collect())) == want, (
+                f"replay changed {key}"
+            )
+        # and the replayed state still equals the batch build over all rows
+        batch = build_hierarchy(_inst_df(spark, rows))
+        assert snap["concepts"] == sorted(map(tuple, batch["concepts"].collect()))
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
