@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; the pandas-UDF /
-    iterative pipeline stages (pl_*) are rows-only by design."""
+    """DuckDB twins for every registered query. SQL-expressible queries
+    recompute semantics relationally; the pandas-UDF / iterative pipeline
+    stages compare against committed golden snapshots
+    (tools/gen_goldens.py) — since round 3 every query is checked."""
     return _q.oracles()

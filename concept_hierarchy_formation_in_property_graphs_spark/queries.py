@@ -1794,30 +1794,64 @@ def _fixture_pages(spark: SparkSession, n_pages: int = 300, n_entities: int = 80
     return pages_spark_df(spark, n_pages, n_entities=n_entities)
 
 
-@_register("pl_extracted_text")
+# The two pandas-UDF extraction stages are not SQL-expressible, so their
+# oracles are STORED-GOLDEN comparisons: `tools/gen_goldens.py` persisted
+# each stage's output over the deterministic fixture as a committed parquet
+# snapshot, and the DuckDB twin reads it. Any drift in extraction, mention
+# detection, linking, or the Arrow plumbing breaks the value hash.
+_GOLDEN_DIR = str(_Path(__file__).resolve().parent / "fixtures" / "golden")
+
+
+@_register(
+    "pl_extracted_text",
+    f"SELECT url, text FROM read_parquet('{_GOLDEN_DIR}/pl_extracted_text.parquet')",
+)
 def pl_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 — boilerplate-stripped text via vectorized pandas UDF (byte-
-    identical per url to the pure-Python oracle; pytest asserts identity)."""
+    identical per url to the pure-Python oracle; pytest asserts identity,
+    the driver gate compares against the committed golden snapshot)."""
     from .functions.text import with_extracted_text
 
     pages = _fixture_pages(spark)
     return with_extracted_text(pages.where(F.col("lang") == "en")).select("url", "text")
 
 
-@_register("pl_triples")
+_PL_TRIPLES_CACHE: dict[str, DataFrame] = {}
+
+
+def _pl_triples_cached(spark: SparkSession) -> DataFrame:
+    """S1→S3 triples over the 300-page fixture, materialized once per
+    session — three registered queries (pl_triples, pl_two_phase_hierarchy,
+    pl_concept_hierarchy) consume the same stage output, exactly like the
+    pipeline's persisted S3 checkpoint."""
+    key = spark.sparkContext.applicationId
+    df = _PL_TRIPLES_CACHE.get(key)
+    if df is None:
+        from .functions.mentions import extract_mention_pairs
+        from .functions.text import with_extracted_text
+        from .operators.triples import triples_from_mention_pairs
+        from .plans.pipeline import all_surfaces, gazetteer_df, phrase_map
+
+        pages = _fixture_pages(spark)
+        text = with_extracted_text(pages.where(F.col("lang") == "en")).select(
+            "url", "text"
+        )
+        mp = extract_mention_pairs(text, all_surfaces(80), phrase_map())
+        links = gazetteer_df(spark, 80).select("surface", "canonical")
+        df = triples_from_mention_pairs(mp, links).localCheckpoint(eager=True)
+        _PL_TRIPLES_CACHE[key] = df
+    return df
+
+
+@_register(
+    "pl_triples",
+    f"SELECT subj, pred, obj FROM read_parquet('{_GOLDEN_DIR}/pl_triples.parquet')",
+)
 def pl_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1→S3 — extraction → gazetteer mentions → canonical triples (the
-    north-star output; P/R gate lives in pytest against planted truth)."""
-    from .functions.mentions import extract_mention_pairs
-    from .functions.text import with_extracted_text
-    from .operators.triples import triples_from_mention_pairs
-    from .plans.pipeline import all_surfaces, gazetteer_df, phrase_map
-
-    pages = _fixture_pages(spark)
-    text = with_extracted_text(pages.where(F.col("lang") == "en")).select("url", "text")
-    mp = extract_mention_pairs(text, all_surfaces(80), phrase_map())
-    links = gazetteer_df(spark, 80).select("surface", "canonical")
-    return triples_from_mention_pairs(mp, links)
+    north-star output; P/R gate lives in pytest against planted truth, the
+    driver gate compares against the committed golden snapshot)."""
+    return _pl_triples_cached(spark)
 
 
 _PL_SURFACES_PATH = str(
@@ -1902,131 +1936,6 @@ def pl_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_surfaces(surfaces, threshold=0.55)
 
 
-# The mm_* oracles recompute the (stubbed, md5-over-hex) codec math in
-# DuckDB from the SAME persisted parquet fixture the Spark query reads —
-# the queries() callables overwrite it on every run, so the value-hash
-# compare is a real end-to-end check of the mapInPandas plumbing.
-_MM_ASSETS_PATH = str(_Path(__file__).resolve().parent.parent / ".artifacts" / "mm_assets")
-
-# hex pair starting at 1-based char p of hex string m, as an int 0..255
-def _hexbyte_sql(m: str, p: str) -> str:
-    return (
-        f"16*(strpos('0123456789abcdef', substr({m},{p},1))-1)"
-        f" + (strpos('0123456789abcdef', substr({m},({p})+1,1))-1)"
-    )
-
-
-@_register(
-    "mm_decode_assets",
-    f"""
-WITH a AS (SELECT asset_id, kind, data FROM read_parquet('{_MM_ASSETS_PATH}/*.parquet')),
-h AS (SELECT asset_id, kind, md5(lower(hex(data))) AS m FROM a),
-b AS (SELECT asset_id, kind,
-   {_hexbyte_sql('m', '1')} AS h0,
-   {_hexbyte_sql('m', '3')} AS h1
- FROM h)
-SELECT asset_id, kind,
-  CAST(CASE kind WHEN 'image' THEN 64 + h0 % 192 WHEN 'video' THEN 320 ELSE 0 END AS INT) AS width,
-  CAST(CASE kind WHEN 'image' THEN 64 + h1 % 192 WHEN 'video' THEN 240 ELSE 0 END AS INT) AS height,
-  CAST(CASE kind WHEN 'audio' THEN 8000 * (1 + h0 % 6) ELSE 0 END AS INT) AS sample_rate,
-  CAST(CASE kind WHEN 'video' THEN 1 + h1 ELSE 0 END AS INT) AS n_frames
-FROM b
-""",
-)
-def mm_decode_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: binary assets → typed metadata through
-    mapInPandas (codec stubbed; schema/batch shape real). The DuckDB twin
-    recomputes the stub math over the persisted fixture."""
-    from .operators.multimodal import (
-        decode_assets,
-        generate_assets_df,
-        persist_assets_parquet,
-    )
-
-    persist_assets_parquet(spark, _MM_ASSETS_PATH)
-    return decode_assets(generate_assets_df(spark, 120))
-
-
-@_register(
-    "mm_feature_ann",
-    f"""
-WITH a AS (SELECT asset_id, data FROM read_parquet('{_MM_ASSETS_PATH}/*.parquet')),
-h AS (SELECT asset_id, md5(lower(hex(data))) AS m1 FROM a),
-hh AS (SELECT asset_id, m1, md5(m1) AS m2, md5(md5(m1)) AS m3, md5(md5(md5(m1))) AS m4 FROM h),
-emb AS (
-  SELECT asset_id AS vec_id,
-    CAST(flatten(list_transform([m1, m2, m3, m4], m ->
-      list_transform([0, 8, 16, 24], i ->
-        CAST(round(
-          (list_sum(list_transform([0,1,2,3], j ->
-            ({_hexbyte_sql('m', 'i+2*j+1')})
-            * ([1,256,65536,16777216])[j+1]
-          ))) / 4294967296.0 * 2.0 - 1.0, 4) AS REAL)
-      )
-    )) AS DOUBLE[]) AS emb
-  FROM hh
-),
-base AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM emb),
-queries AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM base
-            WHERE vec_id IN (0, 1, 2)),
-scored AS (
-  SELECT q.query_id, b.vec_id,
-         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS score
-  FROM base b CROSS JOIN queries q
-  WHERE b.vec_id <> q.query_id
-)
-SELECT query_id, vec_id AS neighbor_id, rank, round(score, 4) AS score4
-FROM (
-  SELECT query_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id ASC) AS rank
-  FROM scored
-) WHERE rank <= 5
-""",
-)
-def mm_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal features → cosine top-k ANN (the embedding column from
-    extract_features feeds similarity search unchanged). The twin rebuilds
-    the rolling-md5 embeddings in SQL, quantizing through REAL to match
-    Spark's float32 column exactly."""
-    from .operators.multimodal import (
-        extract_features,
-        generate_assets_df,
-        persist_assets_parquet,
-    )
-
-    persist_assets_parquet(spark, _MM_ASSETS_PATH)
-    emb = extract_features(generate_assets_df(spark, 120)).withColumnRenamed(
-        "asset_id", "vec_id"
-    )
-    return cosine_topk_bruteforce(emb, [0, 1, 2], k=5)
-
-
-@_register(
-    "mm_frame_sample",
-    f"""
-WITH a AS (SELECT asset_id, data FROM read_parquet('{_MM_ASSETS_PATH}/*.parquet')
-           WHERE kind = 'video'),
-h AS (SELECT asset_id, lower(hex(data)) AS hx, md5(lower(hex(data))) AS m FROM a),
-b AS (SELECT asset_id, hx, 1 + {_hexbyte_sql('m', '3')} AS n_frames FROM h),
-f AS (SELECT asset_id, hx, unnest(range(0, n_frames, 25)) AS fi FROM b)
-SELECT asset_id, CAST(fi AS INT) AS frame_idx,
-       md5(hx || '|' || CAST(fi AS VARCHAR)) AS frame_key
-FROM f
-""",
-)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one row per every-Nth frame per video asset."""
-    from .operators.multimodal import (
-        frame_sample,
-        generate_assets_df,
-        persist_assets_parquet,
-    )
-
-    persist_assets_parquet(spark, _MM_ASSETS_PATH)
-    return frame_sample(generate_assets_df(spark, 120), every_n=25)
-
-
 _PL_SUMMARY_PATH = str(
     _Path(__file__).resolve().parent.parent / ".artifacts" / "pl_two_phase_summary"
 )
@@ -2051,11 +1960,18 @@ def pl_two_phase_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("pl_open_vocab_triples")
+@_register(
+    "pl_open_vocab_triples",
+    "SELECT subj, pred, obj FROM read_parquet("
+    f"'{_GOLDEN_DIR}/pl_open_vocab_triples.parquet')",
+)
 def pl_open_vocab_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-vocabulary S3: detector recognizes 80 entities, the link KB
     only 60 — residual surfaces canonicalize via MinHash-LSH blocking +
-    iterative connected components (north-star path; rows-only: iterative)."""
+    iterative connected components (north-star path). The iterative CC
+    loop is not SQL-expressible, so the driver gate compares against the
+    committed golden snapshot (`tools/gen_goldens.py`) — the end-to-end
+    run is deterministic, so any drift in any stage breaks the hash."""
     import shutil
     import tempfile
 
@@ -2199,3 +2115,130 @@ def pl_concept_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered here because _hierarchy_oracle_sql is defined in this block,
 # after the pl_two_phase_hierarchy callable above
 _ORACLES["pl_two_phase_hierarchy"] = _hierarchy_oracle_sql(_PL_SUMMARY_PATH)
+
+
+# The mm_* oracles recompute the (stubbed, md5-over-hex) codec math in
+# DuckDB from the SAME persisted parquet fixture the Spark query reads —
+# the queries() callables overwrite it on every run, so the value-hash
+# compare is a real end-to-end check of the mapInPandas plumbing.
+_MM_ASSETS_PATH = str(_Path(__file__).resolve().parent.parent / ".artifacts" / "mm_assets")
+
+# hex pair starting at 1-based char p of hex string m, as an int 0..255
+def _hexbyte_sql(m: str, p: str) -> str:
+    return (
+        f"16*(strpos('0123456789abcdef', substr({m},{p},1))-1)"
+        f" + (strpos('0123456789abcdef', substr({m},({p})+1,1))-1)"
+    )
+
+
+@_register(
+    "mm_decode_assets",
+    f"""
+WITH a AS (SELECT asset_id, kind, data FROM read_parquet('{_MM_ASSETS_PATH}/*.parquet')),
+h AS (SELECT asset_id, kind, md5(lower(hex(data))) AS m FROM a),
+b AS (SELECT asset_id, kind,
+   {_hexbyte_sql('m', '1')} AS h0,
+   {_hexbyte_sql('m', '3')} AS h1
+ FROM h)
+SELECT asset_id, kind,
+  CAST(CASE kind WHEN 'image' THEN 64 + h0 % 192 WHEN 'video' THEN 320 ELSE 0 END AS INT) AS width,
+  CAST(CASE kind WHEN 'image' THEN 64 + h1 % 192 WHEN 'video' THEN 240 ELSE 0 END AS INT) AS height,
+  CAST(CASE kind WHEN 'audio' THEN 8000 * (1 + h0 % 6) ELSE 0 END AS INT) AS sample_rate,
+  CAST(CASE kind WHEN 'video' THEN 1 + h1 ELSE 0 END AS INT) AS n_frames
+FROM b
+""",
+)
+def mm_decode_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary assets → typed metadata through
+    mapInPandas (codec stubbed; schema/batch shape real). The DuckDB twin
+    recomputes the stub math over the persisted fixture."""
+    from .operators.multimodal import (
+        decode_assets,
+        generate_assets_df,
+        persist_assets_parquet,
+    )
+
+    persist_assets_parquet(spark, _MM_ASSETS_PATH)
+    return decode_assets(generate_assets_df(spark, 120))
+
+
+@_register(
+    "mm_feature_ann",
+    f"""
+WITH a AS (SELECT asset_id, data FROM read_parquet('{_MM_ASSETS_PATH}/*.parquet')),
+h AS (SELECT asset_id, md5(lower(hex(data))) AS m1 FROM a),
+hh AS (SELECT asset_id, m1, md5(m1) AS m2, md5(md5(m1)) AS m3, md5(md5(md5(m1))) AS m4 FROM h),
+emb AS (
+  SELECT asset_id AS vec_id,
+    CAST(flatten(list_transform([m1, m2, m3, m4], m ->
+      list_transform([0, 8, 16, 24], i ->
+        CAST(round(
+          (list_sum(list_transform([0,1,2,3], j ->
+            ({_hexbyte_sql('m', 'i+2*j+1')})
+            * ([1,256,65536,16777216])[j+1]
+          ))) / 4294967296.0 * 2.0 - 1.0, 4) AS REAL)
+      )
+    )) AS DOUBLE[]) AS emb
+  FROM hh
+),
+base AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM emb),
+queries AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM base
+            WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS score
+  FROM base b CROSS JOIN queries q
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank, round(score, 4) AS score4
+FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def mm_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal features → cosine top-k ANN (the embedding column from
+    extract_features feeds similarity search unchanged). The twin rebuilds
+    the rolling-md5 embeddings in SQL, quantizing through REAL to match
+    Spark's float32 column exactly."""
+    from .operators.multimodal import (
+        extract_features,
+        generate_assets_df,
+        persist_assets_parquet,
+    )
+
+    persist_assets_parquet(spark, _MM_ASSETS_PATH)
+    emb = extract_features(generate_assets_df(spark, 120)).withColumnRenamed(
+        "asset_id", "vec_id"
+    )
+    return cosine_topk_bruteforce(emb, [0, 1, 2], k=5)
+
+
+@_register(
+    "mm_frame_sample",
+    f"""
+WITH a AS (SELECT asset_id, data FROM read_parquet('{_MM_ASSETS_PATH}/*.parquet')
+           WHERE kind = 'video'),
+h AS (SELECT asset_id, lower(hex(data)) AS hx, md5(lower(hex(data))) AS m FROM a),
+b AS (SELECT asset_id, hx, 1 + {_hexbyte_sql('m', '3')} AS n_frames FROM h),
+f AS (SELECT asset_id, hx, unnest(range(0, n_frames, 25)) AS fi FROM b)
+SELECT asset_id, CAST(fi AS INT) AS frame_idx,
+       md5(hx || '|' || CAST(fi AS VARCHAR)) AS frame_key
+FROM f
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per every-Nth frame per video asset."""
+    from .operators.multimodal import (
+        frame_sample,
+        generate_assets_df,
+        persist_assets_parquet,
+    )
+
+    persist_assets_parquet(spark, _MM_ASSETS_PATH)
+    return frame_sample(generate_assets_df(spark, 120), every_n=25)
+
+
