@@ -54,3 +54,69 @@ def test_unknown_kind_raises(spark):
     )
     with pytest.raises(Exception, match="hologram|PythonException"):
         decode_assets(bad).collect()
+
+
+def _encode_png(width, height, pixels, color_type=2, filters=None):
+    """Minimal test-side PNG encoder (filter per row, default 0)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride:(y + 1) * stride])
+        f = filters[y]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (line[i] - line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_decoder_roundtrip():
+    """The real PNG codec de-filters every row back to the source pixels,
+    across filter types 0/1/2."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    w, h = 5, 3
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    for filters in ([0, 0, 0], [1, 1, 1], [2, 2, 2], [0, 1, 2]):
+        png = _encode_png(w, h, pixels, filters=filters)
+        m = decode_png(png)
+        assert (m["width"], m["height"], m["channels"]) == (w, h, 3)
+        assert m["pixels"] == pixels, f"filters {filters}"
+
+
+def test_real_png_through_decode_assets(spark):
+    """A real PNG payload rides the SAME mapInPandas operator as the stub
+    fixtures and comes back with its true dimensions."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_assets,
+    )
+
+    w, h = 31, 17
+    png = _encode_png(w, h, bytes((x * 7) % 256 for x in range(w * h * 3)))
+    df = spark.createDataFrame(
+        [(999, "image", png, {"source": "test/png"})], ASSET_SCHEMA
+    )
+    row = decode_assets(df).collect()[0]
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["sample_rate"] == 0 and row["n_frames"] == 0
