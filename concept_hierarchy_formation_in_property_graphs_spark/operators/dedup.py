@@ -114,7 +114,14 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(docs, text_col, num_perm)
     rows_per_band = num_perm // bands
     # band hash = md5 over the '|'-joined band slice — portable to the
-    # DuckDB oracle (same string, same md5), unlike xxhash64
+    # DuckDB oracle (same string, same md5), unlike xxhash64.
+    # The banded projection appears up to 3× in the plan (bucket sizing +
+    # both self-join sides) but is NOT checkpointed: Spark's ReuseExchange
+    # dedupes the identical sub-plans at runtime (one signature
+    # computation), and an explicit localCheckpoint measured 3× SLOWER —
+    # it blocks that reuse and strips the stats AQE uses to pick broadcast
+    # joins. (Round-3 finding; the static explain's scan count overstates
+    # the runtime scans here.)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
