@@ -97,32 +97,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
-                           num_perm: int = 16, bands: int = 8,
-                           threshold: float = 0.7,
-                           max_bucket: int = 0) -> DataFrame:
-    """Scale path: LSH banding → candidate pairs → exact Jaccard verify.
-
-    The band join key (band_idx, band_hash) is high-cardinality; hot buckets
-    (boilerplate-heavy corpora) are split by AQE skew-join. ``max_bucket``
-    > 0 additionally DROPS buckets larger than the cap before the self-join
-    — the standard web-corpus guard against boilerplate mega-buckets, which
-    otherwise go quadratic (a bucket of B docs yields B·(B−1)/2 candidates;
-    one 100k-doc boilerplate bucket = 5e9 pairs). Pairs lost to a dropped
-    bucket in one band still surface through the other bands.
-    """
+def band_projection(docs: DataFrame, text_col: str = "text",
+                    num_perm: int = 16, bands: int = 8) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH banding of the MinHash
+    signature. Band hash = md5 over the '|'-joined band slice, portable to
+    the DuckDB oracle (same string, same md5), unlike xxhash64. Shared by
+    the batch pair-finder and the incremental ingest path so both generate
+    bit-identical candidate buckets."""
     sigs = minhash_signatures(docs, text_col, num_perm)
     rows_per_band = num_perm // bands
-    # band hash = md5 over the '|'-joined band slice — portable to the
-    # DuckDB oracle (same string, same md5), unlike xxhash64.
-    # The banded projection appears up to 3× in the plan (bucket sizing +
-    # both self-join sides) but is NOT checkpointed: Spark's ReuseExchange
-    # dedupes the identical sub-plans at runtime (one signature
-    # computation), and an explicit localCheckpoint measured 3× SLOWER —
-    # it blocks that reuse and strips the stats AQE uses to pick broadcast
-    # joins. (Round-3 finding; the static explain's scan count overstates
-    # the runtime scans here.)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(*[
@@ -139,6 +123,31 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
             ])
         ).alias("band_idx", "band_hash"),
     )
+
+
+def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
+                           num_perm: int = 16, bands: int = 8,
+                           threshold: float = 0.7,
+                           max_bucket: int = 0) -> DataFrame:
+    """Scale path: LSH banding → candidate pairs → exact Jaccard verify.
+
+    The band join key (band_idx, band_hash) is high-cardinality; hot buckets
+    (boilerplate-heavy corpora) are split by AQE skew-join. ``max_bucket``
+    > 0 additionally DROPS buckets larger than the cap before the self-join
+    — the standard web-corpus guard against boilerplate mega-buckets, which
+    otherwise go quadratic (a bucket of B docs yields B·(B−1)/2 candidates;
+    one 100k-doc boilerplate bucket = 5e9 pairs). Pairs lost to a dropped
+    bucket in one band still surface through the other bands.
+
+    The banded projection appears up to 3× in the plan (bucket sizing +
+    both self-join sides) but is NOT checkpointed: Spark's ReuseExchange
+    dedupes the identical sub-plans at runtime (one signature computation),
+    and an explicit localCheckpoint measured 3× SLOWER — it blocks that
+    reuse and strips the stats AQE uses to pick broadcast joins. (Round-3
+    finding; the static explain's scan count overstates the runtime scans
+    here.)
+    """
+    banded = band_projection(docs, text_col, num_perm, bands)
     if max_bucket > 0:
         small = (
             banded.groupBy("band_idx", "band_hash")
@@ -190,6 +199,191 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup — the production shape at corpus scale: data
+# arrives in batches (crawl snapshots, dumps), and each batch must be
+# deduplicated against EVERYTHING already ingested without rescanning
+# history. The reference's analogue is its incremental insertion contract
+# (new observations update state; old ones are never revisited —
+# PropertyGraphCobweb.java insertion loop); here the state is a persisted
+# "seen" store instead of a tree.
+#
+# Store layout (mirrors operators/streaming.py's replay-safe versioning):
+#   store_dir/seen/b{batch_id}/      exact-dedup: text hashes of the batch
+#   store_dir/bands/b{batch_id}/     near-dup: LSH band keys of the batch
+#   store_dir/toks/b{batch_id}/      near-dup: token sets (for verify)
+#   store_dir/retained/b{batch_id}/  surviving rows of the batch
+# Every write is a per-batch directory in overwrite mode, so an at-least-
+# once replay of batch N rewrites rather than duplicates, and the parquet
+# _SUCCESS marker is the commit point. History is only ever read through
+# the committed markers.
+#
+# 100 TB shape: the store is the big side (all history) and a batch is the
+# small side, so the ingest joins are written store-scan-once: the batch's
+# keys are broadcast, the store is semi-join-filtered by them (never
+# shuffled), and the small matched set is broadcast back as an anti-join
+# filter on the batch. With the store bucketed by key (sources/bucketed.py)
+# plus parquet min/max + bloom filters, the store scan itself prunes to the
+# buckets the batch touches.
+# ---------------------------------------------------------------------------
+
+
+def _committed_batches(store_dir: str, sub: str) -> list[int]:
+    """Sorted batch ids under store_dir/sub whose parquet write committed
+    (_SUCCESS marker) — the replay-safe source of truth."""
+    import os
+
+    d = os.path.join(store_dir, sub)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(name[1:])
+        for name in os.listdir(d)
+        if name.startswith("b")
+        and name[1:].isdigit()
+        and os.path.exists(os.path.join(d, name, "_SUCCESS"))
+    )
+
+
+def _read_history(spark, store_dir: str, sub: str, below: int) -> DataFrame | None:
+    """Union of committed per-batch stores strictly below ``below`` (replays
+    of batch N must not see N's own partial writes)."""
+    import os
+
+    ids = [b for b in _committed_batches(store_dir, sub) if b < below]
+    if not ids:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(store_dir, sub, f"b{b}") for b in ids]
+    )
+
+
+def ingest_batch_exact(batch: DataFrame, store_dir: str, batch_id: int,
+                       text_col: str = "text") -> DataFrame:
+    """Exact-dedup one batch against the seen store; returns the retained
+    rows (first-seen wins: min doc_id within the batch, drop anything whose
+    text hash was seen in a committed earlier batch). Appends the batch's
+    hashes to the store. Idempotent per batch_id (replay-safe).
+    """
+    import os
+
+    spark = batch.sparkSession
+    hashed = batch.withColumn("_h", F.md5(F.col(text_col)))
+    in_batch_keep = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    seen = _read_history(spark, store_dir, "seen", batch_id)
+    if seen is not None:
+        # store-scan-once shape: broadcast the batch's keys into a semi join
+        # on the store, broadcast the (small) matched set back as anti filter
+        matched = seen.join(
+            F.broadcast(in_batch_keep.select("_h")), "_h"
+        ).select("_h").distinct()
+        in_batch_keep = in_batch_keep.join(F.broadcast(matched), "_h", "left_anti")
+    retained = hashed.join(
+        in_batch_keep.select("doc_id"), "doc_id"
+    ).drop("_h")
+    hashed.select("_h").distinct().write.mode("overwrite").parquet(
+        os.path.join(store_dir, "seen", f"b{batch_id}")
+    )
+    retained.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "retained", f"b{batch_id}")
+    )
+    return retained
+
+
+def ingest_batch_near_dup(batch: DataFrame, store_dir: str, batch_id: int,
+                          text_col: str = "text", num_perm: int = 16,
+                          bands: int = 8, threshold: float = 0.7) -> DataFrame:
+    """Near-dup novelty filter for one batch: a document is dropped iff it
+    is an LSH-verified near-duplicate (word-set Jaccard ≥ threshold) of any
+    EARLIER document — a smaller doc_id in the same batch, or any document
+    of a committed earlier batch, retained or not (dropped docs still
+    suppress, exactly like a seen-set Bloom filter).
+
+    Because the band keys are deterministic per document, ingesting a
+    corpus in doc_id-ordered batches retains exactly the documents that are
+    not the ``id_b`` of any pair in the full-corpus
+    :func:`minhash_near_dup_pairs` — order-independent semantics, which is
+    what makes the query oracle-able and the ingest safely re-batchable.
+
+    Appends the batch's band keys + token sets to the store; idempotent per
+    batch_id (replay-safe).
+    """
+    import os
+
+    spark = batch.sparkSession
+    new_bands = band_projection(batch, text_col, num_perm, bands)
+    new_toks = batch.select(
+        "doc_id", F.array_distinct(word_tokens(F.col(text_col))).alias("toks")
+    )
+    # in-batch pairs: the batch self-join (small); drop the later id
+    in_batch_dropped = minhash_near_dup_pairs(
+        batch, text_col, num_perm, bands, threshold
+    ).select(F.col("id_b").alias("doc_id"))
+    prev_bands = _read_history(spark, store_dir, "bands", batch_id)
+    cross_dropped = None
+    if prev_bands is not None:
+        prev_toks = _read_history(spark, store_dir, "toks", batch_id)
+        cand = (
+            prev_bands.withColumnRenamed("doc_id", "id_old")
+            .join(
+                F.broadcast(
+                    new_bands.withColumnRenamed("doc_id", "id_new")
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select("id_old", "id_new")
+            .distinct()
+        )
+        cross_dropped = (
+            cand.join(
+                prev_toks.select(
+                    F.col("doc_id").alias("id_old"), F.col("toks").alias("t_old")
+                ),
+                "id_old",
+            )
+            .join(
+                new_toks.select(
+                    F.col("doc_id").alias("id_new"), F.col("toks").alias("t_new")
+                ),
+                "id_new",
+            )
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("t_old", "t_new"))
+                / F.size(F.array_union("t_old", "t_new")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select(F.col("id_new").alias("doc_id"))
+        )
+    dropped = (
+        in_batch_dropped if cross_dropped is None
+        else in_batch_dropped.unionByName(cross_dropped)
+    ).distinct()
+    retained = batch.join(dropped, "doc_id", "left_anti")
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "bands", f"b{batch_id}")
+    )
+    new_toks.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "toks", f"b{batch_id}")
+    )
+    retained.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "retained", f"b{batch_id}")
+    )
+    return retained
+
+
+def load_retained(spark, store_dir: str) -> DataFrame:
+    """Union of all committed retained batches (the deduplicated corpus)."""
+    import os
+
+    ids = _committed_batches(store_dir, "retained")
+    if not ids:
+        raise ValueError(f"no committed batches under {store_dir}")
+    return spark.read.parquet(
+        *[os.path.join(store_dir, "retained", f"b{b}") for b in ids]
+    )
 
 
 def exact_jaccard_pairs(docs: DataFrame, text_col: str = "text",

@@ -301,6 +301,38 @@ def hierarchy_from_state_dir(spark: SparkSession, state_dir: str,
     )
 
 
+def run_dedup_stream(docs_stream: DataFrame, store_dir: str,
+                     mode: str = "exact", timeout_sec: int = 300, **dedup_kw):
+    """Streaming ingestion dedup: every micro-batch of documents
+    (doc_id, text, ...) is deduplicated against the persisted seen store via
+    ``dedup.ingest_batch_exact`` / ``ingest_batch_near_dup`` — the streaming
+    form of batch-incremental corpus dedup. Replay-safe for the same reason
+    the hierarchy stream is: the handlers derive history from committed
+    per-batch _SUCCESS markers strictly below the current batch id and
+    write per-batch directories in overwrite mode, so an at-least-once
+    replay rewrites instead of duplicating.
+
+    Read the deduplicated corpus with ``dedup.load_retained``.
+    """
+    from .dedup import ingest_batch_exact, ingest_batch_near_dup
+
+    ingest = {"exact": ingest_batch_exact, "near_dup": ingest_batch_near_dup}[mode]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ingest(batch_df, store_dir, batch_id, **dedup_kw)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", store_dir + "/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("dedup stream did not drain")
+    return q
+
+
 def run_stream_available_now(result: DataFrame, query_name: str,
                              checkpoint_dir: str, timeout_sec: int = 120,
                              output_mode: str = "complete"):

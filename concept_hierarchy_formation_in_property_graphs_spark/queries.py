@@ -1400,6 +1400,93 @@ def dd_lsh_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dd_incremental_keep",
+    """
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 50
+)
+SELECT c.doc_id, c.n_chars
+FROM corpus c
+JOIN (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)) k
+  ON c.doc_id = k.doc_id
+""",
+)
+def dd_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental EXACT dedup: the corpus — the documents table plus
+    50 planted exact duplicates arriving in a LATER batch (the fixture has
+    no native byte-identical dups) — is ingested in three doc_id-ordered
+    batches, each deduplicated against the persisted seen store
+    (``dedup.ingest_batch_exact``) without rescanning history. The retained
+    union must equal single-shot keep-min-doc_id exact dedup — which is
+    precisely what the oracle computes, so this query proves the
+    incremental path is lossless AND actually drops the late duplicates."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import ingest_batch_exact, load_retained
+
+    base = load_table(spark, sf_dir, "documents")
+    docs = base.unionByName(
+        base.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    store = tempfile.mkdtemp(prefix="dd_inc_exact_")
+    try:
+        for i, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 1 << 60))):
+            batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            ingest_batch_exact(batch, store, i)
+        return (
+            load_retained(spark, store)
+            .select("doc_id", "n_chars")
+            .localCheckpoint()  # materialize before the store dir is removed
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _incremental_near_dup_oracle_sql() -> str:
+    pairs = _lsh_pairs_oracle_sql(num_perm=16, bands=8, threshold=0.7).strip()
+    return f"""
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id_b FROM ({pairs}))
+"""
+
+
+@_register("dd_incremental_near_dup_keep", _incremental_near_dup_oracle_sql())
+def dd_incremental_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental NEAR-DUP dedup (novelty filter): three
+    doc_id-ordered batches, each LSH-blocked and Jaccard-verified against
+    the persisted band/tokset store (``dedup.ingest_batch_near_dup``). A
+    document is dropped iff it is a verified near-dup of any earlier
+    document — order-independent, so the retained union equals
+    "documents that are never the id_b of a full-corpus LSH pair", which
+    the oracle computes from the same banding SQL."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import ingest_batch_near_dup, load_retained
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="dd_inc_nd_")
+    try:
+        for i, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 1 << 60))):
+            batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            ingest_batch_near_dup(batch, store, i)
+        return (
+            load_retained(spark, store)
+            .select("doc_id", "n_chars")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # text-analysis family (documents table)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,140 @@
+"""Batch-incremental + streaming ingestion dedup.
+
+The contract: ingesting a corpus in doc_id-ordered batches against the
+persisted seen store retains EXACTLY the same documents as a single-shot
+run over the full corpus — the incremental path is lossless and
+re-batchable (any split gives the same result), and every per-batch write
+is replay-idempotent (at-least-once foreachBatch safety).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_hierarchy_formation_in_property_graphs_spark.operators.dedup import (
+    dedup_exact,
+    ingest_batch_exact,
+    ingest_batch_near_dup,
+    load_retained,
+    minhash_near_dup_pairs,
+)
+from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+    run_dedup_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store():
+    d = tempfile.mkdtemp(prefix="chf_dedup_store_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark):
+    """documents plus planted exact duplicates (the fixture has none):
+    docs 0..9 reappear with doc_ids 1000+ — i.e. in the LAST batch of
+    every split used below, so cross-batch dropping is actually exercised."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 50
+    )
+    return base.unionByName(
+        base.where(F.col("doc_id") < 10).withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        )
+    )
+
+
+def _batches(docs, bounds):
+    lo = 0
+    for hi in bounds:
+        yield docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        lo = hi
+    yield docs.where(F.col("doc_id") >= lo)
+
+
+def _ids(df) -> set:
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_incremental_exact_equals_single_shot(spark, store):
+    docs = _docs(spark)
+    for i, b in enumerate(_batches(docs, [20, 35])):
+        ingest_batch_exact(b, store, i)
+    assert _ids(load_retained(spark, store)) == _ids(dedup_exact(docs))
+
+
+def test_incremental_exact_rebatch_invariant(spark, store):
+    docs = _docs(spark)
+    other = tempfile.mkdtemp(prefix="chf_dedup_store2_")
+    try:
+        for i, b in enumerate(_batches(docs, [10, 20, 30, 40])):
+            ingest_batch_exact(b, store, i)
+        for i, b in enumerate(_batches(docs, [25])):
+            ingest_batch_exact(b, other, i)
+        assert _ids(load_retained(spark, store)) == _ids(
+            load_retained(spark, other)
+        )
+    finally:
+        shutil.rmtree(other, ignore_errors=True)
+
+
+def test_incremental_near_dup_equals_full_corpus_formula(spark, store):
+    docs = _docs(spark)
+    kw = dict(num_perm=16, bands=8, threshold=0.7)
+    for i, b in enumerate(_batches(docs, [20, 35])):
+        ingest_batch_near_dup(b, store, i, **kw)
+    pairs = minhash_near_dup_pairs(docs, **kw)
+    dropped = {r["id_b"] for r in pairs.select("id_b").collect()}
+    expect = _ids(docs) - dropped
+    assert _ids(load_retained(spark, store)) == expect
+    assert dropped, "fixture has no near-dups; test is vacuous"
+
+
+def test_replay_idempotent(spark, store):
+    """Re-running a committed batch (at-least-once replay) must leave the
+    retained set and the seen store identical — per-batch overwrite dirs,
+    never append."""
+    docs = _docs(spark)
+    b0, b1 = list(_batches(docs, [25]))
+    ingest_batch_exact(b0, store, 0)
+    ingest_batch_exact(b1, store, 1)
+    once = _ids(load_retained(spark, store))
+    ingest_batch_exact(b1, store, 1)  # replay of the last batch
+    assert _ids(load_retained(spark, store)) == once
+    # replaying an OLD batch must not see later batches' hashes as history
+    ingest_batch_exact(b0, store, 0)
+    assert _ids(load_retained(spark, store)) == once
+
+
+def test_streaming_dedup_equals_batch(spark, store):
+    """File-source stream, one file per micro-batch → retained corpus ==
+    single-shot exact dedup (foreachBatch twin of the batch ingest)."""
+    docs = _docs(spark)
+    src = tempfile.mkdtemp(prefix="chf_dedup_src_")
+    try:
+        # stage doc_id-ordered files; lexicographic filename order matches
+        for i, b in enumerate(_batches(docs, [20, 35])):
+            b.coalesce(1).write.mode("overwrite").parquet(f"{src}/seq={i}")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_dedup_stream(stream, store, mode="exact")
+        # micro-batch ARRIVAL order isn't contractual for a file stream, so
+        # assert the order-independent invariant: exactly one survivor per
+        # distinct text, none lost
+        retained = load_retained(spark, store)
+        n_texts = docs.select("text").distinct().count()
+        assert retained.count() == n_texts
+        assert retained.select("text").distinct().count() == n_texts
+        assert retained.count() < docs.count(), "no dups dropped; vacuous"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
