@@ -4,9 +4,9 @@ metadata, processed through Arrow-batched pandas stages.
 The Spark-side plumbing — schema, Arrow batch shape, partition sizing,
 output contracts — is real and tested. Codecs dispatch through
 :func:`decode_asset`: PNG images decode FOR REAL (dependency-free decoder,
-stdlib zlib, all five scanline filters); other formats (JPEG/PCM/H.264)
-fall back to ``_decode_stub`` because the sandbox has no imaging/audio
-libraries — the stub derives deterministic pseudo-features from the bytes
+stdlib zlib, all five scanline filters) and RIFF/WAVE PCM audio decodes
+FOR REAL (stdlib wave); other formats (JPEG/MP3/H.264) fall back to
+``_decode_stub`` because the sandbox has no imaging/audio libraries — the stub derives deterministic pseudo-features from the bytes
 (md5-seeded), so every pipeline property (schemas, shapes, determinism,
 partitioning) is exercised end-to-end. Extending the registry with
 PIL/librosa/pyav changes ONE function.
@@ -114,15 +114,45 @@ def decode_png(data: bytes) -> dict:
             "pixels": bytes(out)}
 
 
+def decode_wav(data: bytes) -> dict:
+    """REAL codec for the ``audio`` kind: RIFF/WAVE PCM via the stdlib
+    ``wave`` module. Returns sample_rate/n_samples/channels plus the raw
+    PCM frame bytes so downstream feature extraction can run on REAL
+    samples. Non-WAV payloads (or compressed WAVE variants ``wave``
+    rejects) raise and fall back to the deterministic stub in
+    :func:`decode_asset`, exactly like :func:`decode_png`."""
+    import io
+    import wave
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(data)) as w:
+        n = w.getnframes()
+        return {
+            "sample_rate": w.getframerate(),
+            "n_samples": n,
+            "channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "pcm": w.readframes(n),
+        }
+
+
 def decode_asset(data: bytes, kind: str) -> dict:
     """Codec registry entry point: real decoders first (PNG for images,
-    sniffed by magic bytes), deterministic stub otherwise. decode_assets /
-    the oracle fixtures exercise the stub path (their payloads are
-    synthetic bytes); real PNG payloads through the SAME DataFrame
-    operator decode for real (pytest-covered)."""
+    RIFF/WAVE PCM for audio — both sniffed by magic bytes), deterministic
+    stub otherwise. decode_assets / the oracle fixtures exercise the stub
+    path (their payloads are synthetic bytes); real PNG/WAV payloads
+    through the SAME DataFrame operator decode for real (pytest-covered)."""
     if kind == "image" and data[:8] == PNG_MAGIC:
         m = decode_png(data)
         return {"width": m["width"], "height": m["height"],
+                "channels": m["channels"]}
+    if kind == "audio" and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        try:
+            m = decode_wav(data)
+        except Exception:  # compressed/truncated WAVE → stub, like non-PNG
+            return _decode_stub(data, kind)
+        return {"sample_rate": m["sample_rate"], "n_samples": m["n_samples"],
                 "channels": m["channels"]}
     return _decode_stub(data, kind)
 

@@ -120,3 +120,56 @@ def test_real_png_through_decode_assets(spark):
     row = decode_assets(df).collect()[0]
     assert (row["width"], row["height"]) == (w, h)
     assert row["sample_rate"] == 0 and row["n_frames"] == 0
+
+
+def _encode_wav(sample_rate, samples, channels=1):
+    """Minimal test-side WAV encoder (16-bit PCM) via stdlib wave."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_wav_decoder_roundtrip():
+    """The real WAV codec recovers rate/frames/channels and the exact PCM
+    bytes of a deterministic triangle wave."""
+    import struct
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    samples = [((i * 193) % 2048) - 1024 for i in range(400)]
+    wav = _encode_wav(16000, samples)
+    m = decode_wav(wav)
+    assert (m["sample_rate"], m["n_samples"], m["channels"]) == (16000, 400, 1)
+    assert m["pcm"] == b"".join(struct.pack("<h", s) for s in samples)
+
+
+def test_real_wav_through_decode_assets(spark):
+    """A real WAV payload rides the SAME mapInPandas operator as the stub
+    fixtures and comes back with its true sample rate; a non-WAV audio
+    payload in the same batch still takes the stub path."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        _decode_stub,
+        decode_assets,
+    )
+
+    wav = _encode_wav(22050, [0, 100, -100, 50] * 25, channels=2)
+    fake = b"not-audio-bytes" * 10
+    df = spark.createDataFrame(
+        [(1000, "audio", wav, {"source": "test/wav"}),
+         (1001, "audio", fake, {"source": "test/raw"})], ASSET_SCHEMA
+    )
+    rows = {r["asset_id"]: r for r in decode_assets(df).collect()}
+    assert rows[1000]["sample_rate"] == 22050
+    assert rows[1000]["width"] == 0 and rows[1000]["n_frames"] == 0
+    assert rows[1001]["sample_rate"] == _decode_stub(fake, "audio")["sample_rate"]
