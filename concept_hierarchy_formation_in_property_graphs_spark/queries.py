@@ -421,6 +421,51 @@ def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_time_buckets(ev)["daily"]
 
 
+_EV_PARTITIONED_PATH = str(
+    _Path(__file__).resolve().parent.parent / ".artifacts" / "ev_partitioned"
+)
+
+
+@_register(
+    "ev_partitioned_day",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum("value"), 2) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+GROUP BY event_type
+""",
+)
+def ev_partitioned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout date partitioning round trip (`sources/partitioned.py`):
+    events persisted ``partitionBy(event_date)``, then a one-day query read
+    back THROUGH the partitioned layout — the date predicate prunes whole
+    directories at planning time (asserted via PartitionFilters + the scan's
+    numFiles metric in tests/test_sources_partitioned.py). The oracle goes
+    straight at the raw rows, so the hash match proves the partitioned
+    round trip is lossless."""
+    from .sources.partitioned import (
+        read_partitioned,
+        with_date_partition,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(
+        with_date_partition(ev), _EV_PARTITIONED_PATH, ["event_date"]
+    )
+    return (
+        read_partitioned(spark, _EV_PARTITIONED_PATH)
+        .where(F.col("event_date") == "2024-01-03")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 @_register(
     "ev_asof_last_purchase",
     """
