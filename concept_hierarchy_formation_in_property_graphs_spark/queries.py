@@ -2374,3 +2374,49 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(generate_assets_df(spark, 120), every_n=25)
 
 
+
+
+# ---------------------------------------------------------------------------
+# training-shard export: oracle-checkable deterministic shard assignment
+# ---------------------------------------------------------------------------
+
+_SHARD_N, _SHARD_SEED = 16, 7
+
+
+@_register(
+    "pl_training_shards",
+    f"""
+SELECT
+  CAST({md5_long_sql(f"CAST(doc_id AS VARCHAR) || ':' || '{_SHARD_SEED}'")}
+       % {_SHARD_N} AS INT)                   AS shard,
+  COUNT(*)                                    AS n_docs,
+  MIN(doc_id)                                 AS min_doc,
+  MAX(doc_id)                                 AS max_doc,
+  SUM(n_chars)                                AS sum_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def pl_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the deterministic training-shard export
+    (sources/compaction.write_training_shards, key='portable'): shard
+    membership is pmod(md5_long(doc_id:seed), n) — a pure function of
+    (doc_id, seed, n) that DuckDB recomputes bit-identically. The
+    balanced counts double as the shard-size audit a data loader needs."""
+    from .sources.compaction import portable_shard_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "shard",
+            F.pmod(portable_shard_key(["doc_id"], _SHARD_SEED),
+                   F.lit(_SHARD_N)).cast("int"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -30,10 +30,21 @@ possible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
+
 _SHUFFLE_KEY = "__shard_key"
+
+
+def portable_shard_key(id_cols: list[str], seed: int) -> Column:
+    """Seeded 60-bit shuffle key as ``md5('<id>:…:<seed>')`` — the md5
+    family (functions/hashing.py) is value-identical in DuckDB, so shard
+    assignment built on it is oracle-SQL-checkable (`pl_training_shards`).
+    Slower than xxhash64 (hex + string concat) but still codegen'd."""
+    parts = [F.col(c).cast("string") for c in id_cols] + [F.lit(str(seed))]
+    return md5_long(F.concat_ws(":", *parts))
 
 
 def compact_table(
@@ -97,15 +108,20 @@ def write_training_shards(
     id_cols: list[str],
     seed: int = 0,
     fmt: str = "parquet",
+    key: str = "xxhash64",
 ) -> None:
     """Deterministically shuffle ``df`` into ``n_shards`` balanced shard
     directories ``shard=0..n-1`` under ``path`` (one file per shard;
     shard membership and in-file order are a pure function of the id
-    columns + seed)."""
-    keyed = df.withColumn(
-        _SHUFFLE_KEY,
-        F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed)),
-    ).withColumn("shard", F.pmod(F.col(_SHUFFLE_KEY), F.lit(n_shards)).cast("int"))
+    columns + seed). ``key='portable'`` uses the md5 hash family instead
+    of xxhash64 so the assignment is reproducible outside Spark."""
+    if key == "portable":
+        shuffle_key = portable_shard_key(id_cols, seed)
+    else:
+        shuffle_key = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed))
+    keyed = df.withColumn(_SHUFFLE_KEY, shuffle_key).withColumn(
+        "shard", F.pmod(F.col(_SHUFFLE_KEY), F.lit(n_shards)).cast("int")
+    )
     (
         # hash-cluster on the shard value: every row of a shard lands in
         # exactly one task, so each shard=K/ directory gets one file

@@ -103,3 +103,33 @@ def test_training_shards_deterministic_and_balanced(spark, tmpdir):
     assert sizes[0] >= 0.5 * sizes[-1], sizes  # balanced within 2x
     # shuffled: no shard is a contiguous doc_id range
     assert all(max(s) - min(s) > len(s) for s in sa.values())
+
+
+def test_portable_shards_match_manifest_query(spark, tmpdir):
+    """key='portable' shard membership must equal the oracle-checkable
+    assignment pl_training_shards computes (pmod(md5_long(id:seed), n))."""
+    from concept_hierarchy_formation_in_property_graphs_spark.sources.compaction import (
+        portable_shard_key,
+    )
+
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    out = tmpdir + "/shards"
+    write_training_shards(
+        docs, out, n_shards=16, id_cols=["doc_id"], seed=7, key="portable"
+    )
+    got = {
+        (r.doc_id, int(r.shard))
+        for r in spark.read.parquet(out)
+        .select("doc_id", F.col("shard").cast("int").alias("shard"))
+        .collect()
+    }
+    exp = {
+        (r.doc_id, r.shard)
+        for r in docs.select(
+            "doc_id",
+            F.pmod(portable_shard_key(["doc_id"], 7), F.lit(16))
+            .cast("int")
+            .alias("shard"),
+        ).collect()
+    }
+    assert got == exp
