@@ -301,6 +301,53 @@ def hierarchy_from_state_dir(spark: SparkSession, state_dir: str,
     )
 
 
+def state_versions(state_dir: str) -> list[int]:
+    """Committed snapshot versions, oldest first — the time-travel axis."""
+    return _committed_state_versions(state_dir)
+
+
+def hierarchy_at(spark: SparkSession, state_dir: str, batch_id: int,
+                 galois: bool = False) -> dict:
+    """Time travel: the hierarchy exactly as of ``batch_id``.
+
+    The versioned layout (``state/v{N}`` snapshots + per-batch
+    ``inst/b{N}`` dirs, both _SUCCESS-committed) makes any committed
+    batch reconstructible after the fact: intent state from the highest
+    snapshot <= batch_id, instances from only the batches <= batch_id.
+    Must be bit-identical to what ``hierarchy_from_state_dir`` returned
+    when ``batch_id`` WAS current (pinned in tests), so audits and
+    reproductions never need the stream replayed.
+    """
+    import os
+
+    from .concepts import _hierarchy_from_state
+
+    versions = [v for v in _committed_state_versions(state_dir)
+                if v <= batch_id]
+    if not versions:
+        raise ValueError(
+            f"no committed state at or below batch {batch_id} "
+            f"under {state_dir}"
+        )
+    state = spark.read.parquet(
+        os.path.join(state_dir, "state", f"v{versions[-1]}")
+    )
+    idir = os.path.join(state_dir, "inst")
+    inst_dirs = [
+        os.path.join(idir, name)
+        for name in sorted(os.listdir(idir))
+        if name.startswith("b")
+        and name[1:].isdigit()
+        and int(name[1:]) <= batch_id
+        and os.path.exists(os.path.join(idir, name, "_SUCCESS"))
+    ]
+    inst = spark.read.parquet(*inst_dirs)
+    return _hierarchy_from_state(
+        spark, state, inst, root_seed="c", max_depth=64,
+        driver_threshold=200_000, galois=galois,
+    )
+
+
 def run_dedup_stream(docs_stream: DataFrame, store_dir: str,
                      mode: str = "exact", timeout_sec: int = 300, **dedup_kw):
     """Streaming ingestion dedup: every micro-batch of documents

@@ -193,3 +193,52 @@ def test_hierarchy_stream_replay_is_idempotent(spark):
         assert snap["concepts"] == sorted(map(tuple, batch["concepts"].collect()))
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_time_travel_hierarchy_at_reconstructs_past_batches(spark):
+    """hierarchy_at(batch_id) must rebuild exactly the hierarchy that was
+    current when that batch committed — i.e. the batch build over only
+    the instances ingested up to and including it — without replaying the
+    stream. The latest version must equal hierarchy_from_state_dir."""
+    import random
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
+        build_hierarchy,
+    )
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        hierarchy_at,
+        hierarchy_from_state_dir,
+        merge_batch_into_state,
+        state_versions,
+    )
+
+    rows = [
+        (f"t{k:03d}", sorted({random.Random(500 + k).choice("abcde") for _ in range(3)}))
+        for k in range(60)
+    ]
+    state_dir = tempfile.mkdtemp(prefix="chf_tt_state_")
+    try:
+        for i in range(3):
+            merge_batch_into_state(_inst_df(spark, rows[i * 20:(i + 1) * 20]), i, state_dir)
+        assert state_versions(state_dir) == [0, 1, 2]
+
+        for upto in range(3):
+            past = hierarchy_at(spark, state_dir, upto)
+            want = build_hierarchy(_inst_df(spark, rows[: (upto + 1) * 20]))
+            for key in ("concepts", "assignments"):
+                assert sorted(map(tuple, past[key].collect())) == sorted(
+                    map(tuple, want[key].collect())
+                ), f"time travel to batch {upto} diverged in {key}"
+
+        latest = hierarchy_from_state_dir(spark, state_dir)
+        at2 = hierarchy_at(spark, state_dir, 2)
+        assert sorted(map(tuple, at2["concepts"].collect())) == sorted(
+            map(tuple, latest["concepts"].collect())
+        )
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            hierarchy_at(spark, state_dir, -1)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
