@@ -306,6 +306,28 @@ def state_versions(state_dir: str) -> list[int]:
     return _committed_state_versions(state_dir)
 
 
+def prune_state(state_dir: str, keep_last: int = 5) -> list[int]:
+    """Snapshot retention: drop all but the newest ``keep_last`` committed
+    ``state/v{N}`` snapshots (each is a cumulative merge, so old ones are
+    pure time-travel convenience — the ladder otherwise grows one
+    concept-sized table per micro-batch forever). Returns removed ids.
+
+    ``inst/b{N}`` dirs are NEVER pruned here: the newest snapshot still
+    needs every instance batch to materialize assignments. Time travel
+    below the retention horizon raises (see :func:`hierarchy_at`) rather
+    than silently answering from the wrong snapshot.
+    """
+    import os
+    import shutil
+
+    versions = _committed_state_versions(state_dir)
+    removed = []
+    for v in versions[:-keep_last] if keep_last > 0 else versions[:-1]:
+        shutil.rmtree(os.path.join(state_dir, "state", f"v{v}"))
+        removed.append(v)
+    return removed
+
+
 def hierarchy_at(spark: SparkSession, state_dir: str, batch_id: int,
                  galois: bool = False) -> dict:
     """Time travel: the hierarchy exactly as of ``batch_id``.
@@ -329,19 +351,30 @@ def hierarchy_at(spark: SparkSession, state_dir: str, batch_id: int,
             f"no committed state at or below batch {batch_id} "
             f"under {state_dir}"
         )
-    state = spark.read.parquet(
-        os.path.join(state_dir, "state", f"v{versions[-1]}")
-    )
+    snap = versions[-1]
     idir = os.path.join(state_dir, "inst")
-    inst_dirs = [
-        os.path.join(idir, name)
-        for name in sorted(os.listdir(idir))
+    inst_batches = sorted(
+        int(name[1:])
+        for name in os.listdir(idir)
         if name.startswith("b")
         and name[1:].isdigit()
-        and int(name[1:]) <= batch_id
         and os.path.exists(os.path.join(idir, name, "_SUCCESS"))
-    ]
-    inst = spark.read.parquet(*inst_dirs)
+    )
+    wanted = [b for b in inst_batches if b <= batch_id]
+    # the snapshot must cover every instance batch in the window — a
+    # pruned intermediate snapshot silently falling back to older state
+    # would drop those batches' intents
+    uncovered = [b for b in wanted if b > snap]
+    if uncovered:
+        raise ValueError(
+            f"state snapshot v{snap} does not cover instance batches "
+            f"{uncovered} (pruned or uncommitted) — cannot time-travel "
+            f"to batch {batch_id}"
+        )
+    state = spark.read.parquet(os.path.join(state_dir, "state", f"v{snap}"))
+    inst = spark.read.parquet(
+        *[os.path.join(idir, f"b{b}") for b in wanted]
+    )
     return _hierarchy_from_state(
         spark, state, inst, root_seed="c", max_depth=64,
         driver_threshold=200_000, galois=galois,

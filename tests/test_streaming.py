@@ -242,3 +242,58 @@ def test_time_travel_hierarchy_at_reconstructs_past_batches(spark):
             hierarchy_at(spark, state_dir, -1)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_prune_state_retention_and_time_travel_guard(spark):
+    """prune_state keeps the newest snapshots only; time travel below the
+    retention horizon must raise (not silently answer from older state),
+    while the latest hierarchy stays byte-identical after pruning."""
+    import os
+    import random
+
+    import pytest as _pytest
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        hierarchy_at,
+        hierarchy_from_state_dir,
+        merge_batch_into_state,
+        prune_state,
+        state_versions,
+    )
+
+    rows = [
+        (f"p{k:03d}", sorted({random.Random(800 + k).choice("abcd") for _ in range(3)}))
+        for k in range(40)
+    ]
+    state_dir = tempfile.mkdtemp(prefix="chf_prune_state_")
+    try:
+        for i in range(4):
+            merge_batch_into_state(_inst_df(spark, rows[i * 10:(i + 1) * 10]), i, state_dir)
+        before = sorted(
+            map(tuple, hierarchy_from_state_dir(spark, state_dir)["concepts"].collect())
+        )
+
+        assert prune_state(state_dir, keep_last=2) == [0, 1]
+        assert state_versions(state_dir) == [2, 3]
+        # inst dirs untouched
+        assert sorted(os.listdir(os.path.join(state_dir, "inst"))) == [
+            "b0", "b1", "b2", "b3"
+        ]
+
+        after = sorted(
+            map(tuple, hierarchy_from_state_dir(spark, state_dir)["concepts"].collect())
+        )
+        assert after == before
+
+        # retained versions still time-travel; pruned ones refuse
+        hierarchy_at(spark, state_dir, 2)
+        with _pytest.raises(ValueError, match="batch 1"):
+            hierarchy_at(spark, state_dir, 1)
+
+        # a snapshot gap (manual deletion / partial commit) must refuse
+        # rather than answer from older state missing newer batches
+        shutil.rmtree(os.path.join(state_dir, "state", "v3"))
+        with _pytest.raises(ValueError, match="does not cover"):
+            hierarchy_at(spark, state_dir, 3)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
