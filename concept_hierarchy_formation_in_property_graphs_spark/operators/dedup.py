@@ -403,3 +403,33 @@ def exact_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def decontaminate(docs: DataFrame, bench_docs: DataFrame, n: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark n-gram decontamination: flag training documents sharing
+    any token n-gram with an evaluation/benchmark set.
+
+    Returns (doc_id, n_hit_grams) for every contaminated training doc —
+    the standard pre-training hygiene step (e.g. GPT-3 appendix C / PaLM:
+    drop training docs with verbatim n-gram overlap against eval sets).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so its
+    distinct gram set is broadcast — the corpus side explodes its grams
+    and hash-joins against the broadcast set WITHOUT shuffling, then
+    aggregates hits keyed by doc_id (map-side combinable). The corpus
+    table is scanned exactly once; no all-pairs anywhere.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+        )
+
+    bench = grams(bench_docs).select("g").distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("g")).alias("n_hit_grams"))
+    )

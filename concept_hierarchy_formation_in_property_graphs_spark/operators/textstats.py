@@ -81,3 +81,65 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("fingerprint"),
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals, token-based:
+
+    (doc_id, dup_trigram_frac4, top_bigram_frac4, max_token_run)
+
+    - ``dup_trigram_frac4`` — fraction of token 3-grams that are repeats of
+      an earlier 3-gram in the same document (1 − distinct/total); computed
+      entirely inside one projection (array expressions, zero shuffles).
+    - ``top_bigram_frac4`` — fraction of tokens covered by the single most
+      frequent 2-gram (2·max_count/n_tokens), the Rae et al. (Gopher, 2021)
+      "fraction of characters in most common n-gram" signal in token form;
+      explode → two map-side-combinable aggregates keyed by doc_id.
+    - ``max_token_run`` — longest run of one token repeated consecutively
+      (gaps-and-islands: group = pos − row_number per (doc, token)).
+
+    All three are plain SQL expressions reproduced verbatim in the DuckDB
+    oracle; at 100 TB each path is a single shuffle keyed by doc_id with
+    partial aggregation, no all-pairs or window over the whole corpus.
+    """
+    t = _tokens(F.col(text_col))
+    n = F.size(t)
+
+    def grams(width: int):
+        seq = F.sequence(F.lit(1), n - (width - 1))
+        built = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(t, i, width)))
+        # sequence(1, x) with x < 1 would generate a DESCENDING range —
+        # guard short documents with an explicit empty array
+        return F.when(n >= width, built).otherwise(
+            F.array().cast("array<string>"))
+
+    tri = grams(3)
+    dup_tri = docs.select(
+        "doc_id",
+        F.when(
+            F.size(tri) > 0,
+            F.round(1.0 - F.size(F.array_distinct(tri)) / F.size(tri), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_trigram_frac4"),
+    )
+
+    big = (
+        docs.select("doc_id", n.alias("n_tokens"), F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"), F.max("n_tokens").alias("n_tokens"))
+        .groupBy("doc_id")
+        .agg(F.round(2.0 * F.max("c") / F.max("n_tokens"), 4).alias("top_bigram_frac4"))
+    )
+
+    from pyspark.sql import Window
+
+    pos = docs.select("doc_id", F.posexplode(t).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    runs = (
+        pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "tok", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").cast("long").alias("max_token_run"))
+    )
+
+    return dup_tri.join(big, "doc_id").join(runs, "doc_id")

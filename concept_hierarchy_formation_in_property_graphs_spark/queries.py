@@ -2420,3 +2420,209 @@ def pl_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene family: repetition signals, stratified sampling,
+# benchmark decontamination (documents table)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tx_repetition_signals",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           round(1.0 - CAST(len(list_distinct(list_transform(
+                   range(1, len(t) - 2 + 1),
+                   i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                 ))) AS DOUBLE) / (len(t) - 2), 4)
+         ELSE 0.0 END AS dup_trigram_frac4
+  FROM toks
+),
+big AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         unnest(list_transform(
+           range(1, len(t) - 1 + 1),
+           i -> array_to_string(t[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+         )) AS g
+  FROM toks WHERE len(t) >= 2
+),
+topb AS (
+  SELECT doc_id, round(2.0 * max(c) / max(n_tokens), 4) AS top_bigram_frac4
+  FROM (SELECT doc_id, g, count(*) AS c, max(n_tokens) AS n_tokens
+        FROM big GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks
+),
+runs AS (
+  SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_token_run
+  FROM (SELECT doc_id, tok, grp, count(*) AS run_len
+        FROM (SELECT doc_id, tok,
+                     pos - row_number() OVER (PARTITION BY doc_id, tok
+                                              ORDER BY pos) AS grp
+              FROM pos)
+        GROUP BY doc_id, tok, grp)
+  GROUP BY doc_id
+)
+SELECT tri.doc_id, dup_trigram_frac4, top_bigram_frac4, max_token_run
+FROM tri JOIN topb ON tri.doc_id = topb.doc_id
+         JOIN runs ON tri.doc_id = runs.doc_id
+""",
+)
+def tx_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals
+    (`operators/textstats.repetition_signals`): duplicate-trigram
+    fraction (zero-shuffle array expression), most-common-bigram token
+    coverage, and longest same-token run (gaps-and-islands) — the
+    repetition-removal trio a webtext pipeline runs before admission."""
+    from .operators.textstats import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+@_register(
+    "tx_stratified_sample",
+    f"""
+SELECT doc_id, source, pick_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS pick_rank
+  FROM documents
+) WHERE pick_rank <= 10
+""",
+)
+def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-balanced down-sample
+    (`operators/sampling.stratified_sample`): at most 10 docs per source,
+    chosen by portable md5(doc_id) order — reproducible run-to-run and
+    partitioning-independent, unlike rand()-based sampling."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", k=10).select(
+        "doc_id", "source", "pick_rank")
+
+
+@_register(
+    "tx_temperature_weights",
+    """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+z AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.5)) AS z FROM c)
+SELECT source, n_docs,
+       round(pow(CAST(n_docs AS DOUBLE), 0.5) / (SELECT z FROM z), 6) AS weight6
+FROM c
+""",
+)
+def tx_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-alpha mixture weights per source
+    (`operators/sampling.temperature_weights`, alpha=0.5): the
+    domain-mixing table a training loader consumes; dimension-sized,
+    broadcast back onto the corpus."""
+    from .operators.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, "source", alpha=0.5)
+
+
+@_register(
+    "dd_decontaminate",
+    """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+           i -> array_to_string(
+                  string_split(text, ' ')[CAST(i AS INT):CAST(i + 3 AS INT)],
+                  ' ')
+         ))) AS g
+  FROM documents
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0)
+SELECT doc_id, count(DISTINCT g) AS n_hit_grams
+FROM grams
+WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench)
+GROUP BY doc_id
+""",
+)
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 4-gram decontamination (`operators/dedup.decontaminate`):
+    every 23rd doc stands in for the eval set; training docs sharing any
+    verbatim token 4-gram with it are flagged with their hit count. The
+    bench gram set is broadcast — the corpus side is scanned once and
+    never shuffled before the doc_id-keyed hit aggregate."""
+    from .operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    train = docs.where(F.col("doc_id") % 23 != 0)
+    return decontaminate(train, bench, n=4)
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: PageRank entity salience (tpch entity graph)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — bit-compatible
+    with operators/pagerank.pagerank (same literals, same double ops)."""
+    d = damping
+    ctes = [f"""
+allids AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+outdeg AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY 1),
+base AS (
+  SELECT a.id, COALESCE(o.od, 0) AS od
+  FROM (SELECT DISTINCT id FROM allids) a LEFT JOIN outdeg o USING (id)
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+r0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS rank FROM base)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+d{i - 1} AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r{i - 1} WHERE od = 0),
+c{i} AS (
+  SELECT e.dst AS id, sum(r.rank / r.od) AS contrib
+  FROM edges e JOIN r{i - 1} r ON e.src = r.id
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT b.id, b.od,
+         {(1.0 - d)!r} / (SELECT n FROM nn)
+         + {d!r} * (COALESCE(c.contrib, 0.0)
+                    + (SELECT dm FROM d{i - 1}) / (SELECT n FROM nn)) AS rank
+  FROM base b LEFT JOIN c{i} c USING (id)
+)""")
+    return (
+        f"WITH {_EDGES_SQL.strip()},"
+        + ",".join(ctes)
+        + f"""
+SELECT id, round(rank * (SELECT n FROM nn), 4) AS scaled_rank4 FROM r{iters}
+"""
+    )
+
+
+@_register("kg_pagerank", _pagerank_oracle_sql())
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience via 5-iteration PageRank over the typed entity
+    graph (`operators/pagerank.pagerank`): per-iteration join+agg keyed
+    by node id, rank state localCheckpoint'ed (constant-depth DAG),
+    dangling mass as a broadcast scalar. scaled_rank4 = rank × N (mean
+    1.0) so the hash gate compares scale-free numbers."""
+    from .operators.pagerank import pagerank
+
+    edges = tpch_edges_cached(spark, sf_dir)
+    n = (edges.select(F.col("src").alias("id"))
+         .unionByName(edges.select(F.col("dst").alias("id")))
+         .distinct().count())  # one agg over the checkpointed edge table
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return pr.select("id", F.round(F.col("rank") * F.lit(float(n)), 4)
+                     .alias("scaled_rank4"))

@@ -1,0 +1,116 @@
+"""Repetition signals, stratified sampling, decontamination, PageRank —
+semantics on crafted inputs (the DuckDB oracles cover the sf corpora)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concept_hierarchy_formation_in_property_graphs_spark.operators.dedup import decontaminate
+from concept_hierarchy_formation_in_property_graphs_spark.operators.pagerank import pagerank
+from concept_hierarchy_formation_in_property_graphs_spark.operators.sampling import (
+    stratified_sample,
+    temperature_weights,
+)
+from concept_hierarchy_formation_in_property_graphs_spark.operators.textstats import (
+    repetition_signals,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_signals_hand_checked(spark):
+    docs = _docs(spark, [
+        "a b c a b c a b c",      # pure 3-cycle: every trigram repeats
+        "a a a a b",              # run of 4 'a'; top bigram 'a a' x3
+        "u v w x y z",            # no repetition at all
+    ])
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+
+    # doc 0: 7 trigrams, only 3 distinct ("a b c","b c a","c a b")
+    assert rows[0]["dup_trigram_frac4"] == round(1 - 3 / 7, 4)
+    # doc 0: 8 bigrams, most common appears 3x ("a b" / "b c") -> 2*3/9
+    assert rows[0]["top_bigram_frac4"] == round(6 / 9, 4)
+    assert rows[0]["max_token_run"] == 1
+
+    assert rows[1]["max_token_run"] == 4
+    assert rows[1]["top_bigram_frac4"] == round(2 * 3 / 5, 4)
+
+    assert rows[2]["dup_trigram_frac4"] == 0.0
+    assert rows[2]["max_token_run"] == 1
+
+
+def test_repetition_signals_short_doc_guard(spark):
+    # 2-token doc: no trigrams (guarded empty array, NOT a descending
+    # sequence); bigram/run paths still emit
+    docs = _docs(spark, ["x y"])
+    row = repetition_signals(docs).collect()[0]
+    assert row["dup_trigram_frac4"] == 0.0
+    assert row["max_token_run"] == 1
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(40)], "doc_id long, source string"
+    )
+    a = stratified_sample(df, "source", k=5, id_col="doc_id")
+    b = stratified_sample(df.repartition(7), "source", k=5, id_col="doc_id")
+    rows_a = sorted((r["doc_id"], r["source"], r["pick_rank"]) for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["source"], r["pick_rank"]) for r in b.collect())
+    assert rows_a == rows_b  # partitioning-independent
+    per = {}
+    for _, s, _ in rows_a:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+
+
+def test_temperature_weights_alpha_endpoints(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    flat = {r["source"]: r["weight6"] for r in
+            temperature_weights(df, "source", alpha=0.0).collect()}
+    assert flat["big"] == flat["small"] == 0.5  # alpha=0 -> uniform
+    prop = {r["source"]: r["weight6"] for r in
+            temperature_weights(df, "source", alpha=1.0).collect()}
+    assert prop["big"] == 0.9 and prop["small"] == 0.1  # alpha=1 -> proportional
+
+
+def test_decontaminate_flags_verbatim_overlap_only(spark):
+    bench = _docs(spark, ["the secret eval answer is here today"])
+    train = spark.createDataFrame(
+        [
+            (10, "prefix the secret eval answer is something"),  # 2 shared 4-grams
+            (11, "answer eval secret the — same words reshuffled"),
+            (12, "entirely unrelated training text goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hit_grams"] for r in
+            decontaminate(train, bench, n=4).collect()}
+    assert hits == {10: 2}  # order-sensitive: reshuffle (11) is clean
+
+
+def test_pagerank_star_and_mass_conservation(spark):
+    # star: a,b,c -> hub; hub dangling. Ranks must sum to 1 and hub must
+    # dominate; leaf ranks equal by symmetry.
+    edges = spark.createDataFrame(
+        [("a", "r", "hub"), ("b", "r", "hub"), ("c", "r", "hub")],
+        "src string, rel_type string, dst string",
+    )
+    pr = {r["id"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr["hub"] > pr["a"] == pr["b"] == pr["c"]
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    edges = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a")],
+        "src string, rel_type string, dst string",
+    )
+    pr = [r["rank"] for r in pagerank(edges, iters=7).collect()]
+    assert all(abs(x - 1 / 3) < 1e-12 for x in pr)
