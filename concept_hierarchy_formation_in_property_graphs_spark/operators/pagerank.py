@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             hash_keys: bool = True) -> DataFrame:
     """(id, rank) after ``iters`` synchronous iterations.
 
     rank_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} rank_t(u)/outdeg(u) + dangling_t/N)
@@ -41,7 +42,26 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     Ranks sum to 1 every iteration (dangling mass redistributed
     uniformly). Deterministic: no sampling, no rand(), stable under any
     partitioning.
+
+    ``hash_keys`` runs the loop on ``xxhash64`` surrogate keys instead of
+    the raw (string) node ids — fixed-width longs hash-join and aggregate
+    ~2× faster than URI-sized strings, and the per-iteration state
+    shrinks; the output is mapped back to the original ids, so the keys
+    never leak. Birthday bound: p(collision) ≈ k²/2^65 — negligible to
+    ~10^7 nodes (3e-6) and acceptable to ~10^8 (3e-4); past that widen to
+    a 128-bit key pair (two seeded hashes) or set ``hash_keys=False``.
     """
+    if hash_keys:
+        id_map = (
+            edges.select(F.col(src_col).alias("orig"))
+            .unionByName(edges.select(F.col(dst_col).alias("orig")))
+            .distinct()
+            .select(F.xxhash64("orig").alias("id"), "orig")
+        )
+        edges = edges.select(
+            F.xxhash64(src_col).alias(src_col), F.xxhash64(dst_col).alias(dst_col))
+        edges = edges.localCheckpoint(eager=True)
+
     out_deg = (
         edges.groupBy(F.col(src_col).alias("id"))
         .agg(F.count("*").alias("od"))
@@ -56,7 +76,7 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     )
     n = nodes.count()
     if n == 0:
-        return nodes.select("id", F.lit(0.0).alias("rank"))
+        return edges.select(F.lit("").alias("id"), F.lit(0.0).alias("rank")).limit(0)
 
     ranks = nodes.select("id", "od", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
@@ -80,4 +100,7 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
                     + F.col("dm") / F.lit(float(n)))).alias("rank"),
             )
         )
+    if hash_keys:
+        return (ranks.join(id_map, "id")
+                .select(F.col("orig").alias("id"), "rank"))
     return ranks.select("id", "rank")
