@@ -74,3 +74,26 @@ def test_projection_pruning_reaches_scan(spark):
     assert schemas, "no parquet scan in plan"
     for s in schemas:
         assert len(s.split(",")) <= 7, f"unpruned scan: {s}"
+
+
+@pytest.mark.parametrize("name", [
+    "tx_repetition_signals",
+    "tx_stratified_sample",
+    "tx_temperature_weights",
+    "dd_decontaminate",
+])
+def test_corpus_hygiene_no_scale_hazards(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if "CartesianProduct" in plan:
+        assert "Broadcast" in plan, f"{name}: cartesian without broadcast"
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    """The corpus side of the decontamination join must never be shuffled
+    before its hit aggregate: the bench gram set is the build side of a
+    BroadcastHashJoin, and the only Exchange below the aggregate is the
+    doc_id-keyed one."""
+    plan = _plan(spark, "dd_decontaminate")
+    assert "BroadcastHashJoin" in plan, "bench gram set not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus grams shuffled for the join"

@@ -34,6 +34,9 @@ AUDIT = [
     "q_cube_returns",
     "tx_quality_filter",
     "q_deterministic_sample",
+    "tx_repetition_signals",
+    "tx_stratified_sample",
+    "dd_decontaminate",
 ]
 
 
