@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "sim_ivf_ann",
     "dd_embedding_near_dup",
     "ev_sessions",
+    "tx_repetition_signals",
+    "dd_decontaminate",
+    "kg_pagerank",
 ]
 
 

@@ -114,3 +114,30 @@ def test_pagerank_cycle_is_uniform(spark):
     )
     pr = [r["rank"] for r in pagerank(edges, iters=7).collect()]
     assert all(abs(x - 1 / 3) < 1e-12 for x in pr)
+
+
+def test_corpus_hygiene_empty_inputs_degenerate_gracefully(spark):
+    """Empty corpora / empty graphs: no crash, empty results with the
+    declared schemas — what a scheduled run over a quiet partition sees."""
+    empty_docs = _docs(spark, [])
+    assert repetition_signals(empty_docs).count() == 0
+    assert decontaminate(empty_docs, empty_docs).count() == 0
+
+    empty_strat = spark.createDataFrame([], "doc_id long, source string")
+    assert stratified_sample(empty_strat, "source", k=3).count() == 0
+    assert temperature_weights(empty_strat, "source").count() == 0
+
+    empty_edges = spark.createDataFrame(
+        [], "src string, rel_type string, dst string")
+    pr = pagerank(empty_edges, iters=2)
+    assert pr.count() == 0
+    assert [f.name for f in pr.schema.fields] == ["id", "rank"]
+
+
+def test_decontaminate_bench_only_grams_do_not_self_flag(spark):
+    """A benchmark doc must not flag itself through the training side when
+    the same doc_id space overlaps — callers pass disjoint frames, and
+    the operator never joins on doc_id, only on gram text."""
+    bench = _docs(spark, ["alpha beta gamma delta epsilon"])
+    train = _docs(spark, ["zeta eta theta iota kappa"])
+    assert decontaminate(train, bench, n=4).count() == 0
