@@ -2626,3 +2626,176 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(edges, iters=5, damping=0.85)
     return pr.select("id", F.round(F.col("rank") * F.lit(float(n)), 4)
                      .alias("scaled_rank4"))
+
+
+_REP_OK_SQL = """
+rtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM train
+),
+rtri AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           round(1.0 - CAST(len(list_distinct(list_transform(
+                   range(1, len(t) - 2 + 1),
+                   i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                 ))) AS DOUBLE) / (len(t) - 2), 4)
+         ELSE 0.0 END AS dup_trigram_frac4
+  FROM rtoks
+),
+rbig AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         unnest(list_transform(
+           range(1, len(t) - 1 + 1),
+           i -> array_to_string(t[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+         )) AS g
+  FROM rtoks WHERE len(t) >= 2
+),
+rtopb AS (
+  SELECT doc_id, round(2.0 * max(c) / max(n_tokens), 4) AS top_bigram_frac4
+  FROM (SELECT doc_id, g, count(*) AS c, max(n_tokens) AS n_tokens
+        FROM rbig GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+rpos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM rtoks
+),
+rruns AS (
+  SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_token_run
+  FROM (SELECT doc_id, tok, grp, count(*) AS run_len
+        FROM (SELECT doc_id, tok,
+                     pos - row_number() OVER (PARTITION BY doc_id, tok
+                                              ORDER BY pos) AS grp
+              FROM rpos)
+        GROUP BY doc_id, tok, grp)
+  GROUP BY doc_id
+),
+rep_ok AS (
+  SELECT rtri.doc_id
+  FROM rtri JOIN rtopb ON rtri.doc_id = rtopb.doc_id
+            JOIN rruns ON rtri.doc_id = rruns.doc_id
+  WHERE dup_trigram_frac4 <= 0.2 AND top_bigram_frac4 <= 0.125
+        AND max_token_run <= 2
+)"""
+
+
+@_register(
+    "tx_admission_funnel",
+    f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 23 <> 0),
+scored AS (
+  SELECT doc_id,
+         round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * least((CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 0.1, 1.0), 4) AS quality4,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                        x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.05
+              THEN 'en' ELSE 'other' END AS lang_pred,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fingerprint
+  FROM train
+),
+s2 AS (SELECT * FROM scored WHERE quality4 >= 0.5 AND lang_pred = 'en'),
+s3 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fingerprint
+                                      ORDER BY doc_id) AS rn
+    FROM s2) WHERE rn = 1
+),
+{_REP_OK_SQL.strip()},
+cgrams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+           i -> array_to_string(
+                  string_split(text, ' ')[CAST(i AS INT):CAST(i + 3 AS INT)],
+                  ' ')
+         ))) AS g
+  FROM documents
+),
+cbench AS (SELECT DISTINCT g FROM cgrams WHERE doc_id % 23 = 0),
+cont AS (
+  SELECT DISTINCT doc_id FROM cgrams
+  WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM cbench)
+)
+SELECT CAST(0 AS INT) AS stage_no, 'corpus' AS stage,
+       (SELECT count(*) FROM train) AS n_docs
+UNION ALL SELECT 1, 'quality',
+       (SELECT count(*) FROM scored WHERE quality4 >= 0.5)
+UNION ALL SELECT 2, 'language', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM s3)
+UNION ALL SELECT 4, 'repetition',
+       (SELECT count(*) FROM s3 JOIN rep_ok USING (doc_id))
+UNION ALL SELECT 5, 'decontaminated',
+       (SELECT count(*) FROM s3 JOIN rep_ok USING (doc_id)
+        LEFT JOIN cont c USING (doc_id) WHERE c.doc_id IS NULL)
+""",
+)
+def tx_admission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation funnel as ONE query — per-stage
+    survivor counts for: corpus → quality ≥ 0.5 → language 'en' → exact
+    dedup (first per fingerprint) → repetition thresholds
+    (dup-trigram ≤ 0.2, top-bigram coverage ≤ 0.125, run ≤ 2) →
+    4-gram decontamination vs the held-out eval split. Composes five
+    operators (`quality_scores`/`language_id`/`fingerprints`/
+    `repetition_signals`/`decontaminate`); the per-doc flags are computed
+    in one pass and the six counts come from a single aggregate
+    (`stack` unpivot), so the funnel costs one extra job, not six."""
+    from .operators.dedup import decontaminate
+    from .operators.textstats import (
+        fingerprints, language_id, quality_scores, repetition_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    train = docs.where(F.col("doc_id") % 23 != 0)
+
+    scored = (
+        quality_scores(train)
+        .join(language_id(train), "doc_id")
+        .join(fingerprints(train), "doc_id")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    s3_keep = (
+        scored.where((F.col("quality4") >= 0.5) & (F.col("lang_pred") == "en"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("kept"))
+    )
+    rep_ok = (
+        repetition_signals(train)
+        .where((F.col("dup_trigram_frac4") <= 0.2)
+               & (F.col("top_bigram_frac4") <= 0.125)
+               & (F.col("max_token_run") <= 2))
+        .select("doc_id", F.lit(True).alias("rep_ok"))
+    )
+    cont = decontaminate(train, bench, n=4).select(
+        "doc_id", F.lit(True).alias("contaminated"))
+
+    flags = (
+        scored.join(s3_keep, "doc_id", "left")
+        .join(rep_ok, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+    )
+    q_ok = F.col("quality4") >= 0.5
+    en_ok = q_ok & (F.col("lang_pred") == "en")
+    kept = F.coalesce(F.col("kept"), F.lit(False))
+    rok = kept & F.coalesce(F.col("rep_ok"), F.lit(False))
+    clean = rok & ~F.coalesce(F.col("contaminated"), F.lit(False))
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n0"),
+        n(q_ok).alias("n1"), n(en_ok).alias("n2"), n(kept).alias("n3"),
+        n(rok).alias("n4"), n(clean).alias("n5"),
+    )
+    return agg.select(F.expr(
+        "stack(6, 0, 'corpus', n0, 1, 'quality', n1, 2, 'language', n2, "
+        "3, 'exact_dedup', n3, 4, 'repetition', n4, "
+        "5, 'decontaminated', n5) as (stage_no, stage, n_docs)"
+    ))

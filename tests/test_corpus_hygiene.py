@@ -141,3 +141,21 @@ def test_decontaminate_bench_only_grams_do_not_self_flag(spark):
     bench = _docs(spark, ["alpha beta gamma delta epsilon"])
     train = _docs(spark, ["zeta eta theta iota kappa"])
     assert decontaminate(train, bench, n=4).count() == 0
+
+
+def test_admission_funnel_is_monotone(spark):
+    """Each curation stage can only shrink the survivor set, and the
+    stage order is fixed."""
+    from concept_hierarchy_formation_in_property_graphs_spark import queries as q
+
+    rows = sorted(
+        q.registry()["tx_admission_funnel"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["stage_no"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "corpus", "quality", "language", "exact_dedup",
+        "repetition", "decontaminated",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
