@@ -143,3 +143,36 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     return dup_tri.join(big, "doc_id").join(runs, "doc_id")
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5,
+                   text_col: str = "text") -> DataFrame:
+    """Top-k tf-idf keywords per document:
+    (doc_id, keyword, krank, tfidf4).
+
+    tfidf = tf · ln(N/df). Ranking is on the 6-dp-rounded score with the
+    token as tie-break, so the order is reproducible across engines and
+    partitionings (raw float ordering could flip on last-ulp ln
+    differences between runtimes). Shapes for scale: term frequencies are
+    one map-side-combinable aggregate keyed (doc_id, token); the document
+    frequency table is vocabulary-sized and broadcast; the final top-k
+    window shuffles once on doc_id.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(_tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tfidf"), 6).desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("krank", F.row_number().over(w).cast("long"))
+        .where(F.col("krank") <= k)
+        .select("doc_id", F.col("tok").alias("keyword"), "krank",
+                F.round("tfidf", 4).alias("tfidf4"))
+    )

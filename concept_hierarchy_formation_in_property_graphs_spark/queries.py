@@ -2799,3 +2799,37 @@ def tx_admission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3, 'exact_dedup', n3, 4, 'repetition', n4, "
         "5, 'decontaminated', n5) as (stage_no, stage, n_docs)"
     ))
+
+
+@_register(
+    "tx_keywords",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf * ln((SELECT n FROM nn) / df) AS tfidf
+  FROM tf JOIN dfq USING (tok)
+)
+SELECT doc_id, tok AS keyword, krank, round(tfidf, 4) AS tfidf4
+FROM (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(tfidf, 6) DESC, tok) AS krank
+  FROM scored
+) WHERE krank <= 5
+""",
+)
+def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per document
+    (`operators/textstats.tfidf_keywords`): map-side-combinable term
+    frequencies, a broadcast vocabulary-sized df table, one doc_id-keyed
+    top-k window. Ranking on the rounded score + token tie-break keeps
+    the order engine-portable."""
+    from .operators.textstats import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=5)

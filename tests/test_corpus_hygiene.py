@@ -159,3 +159,24 @@ def test_admission_funnel_is_monotone(spark):
     counts = [r["n_docs"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > 0
+
+
+def test_tfidf_keywords_rank_distinctive_terms_first(spark):
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.textstats import (
+        tfidf_keywords,
+    )
+
+    docs = _docs(spark, [
+        "common common rare1 rare1 rare1",
+        "common unique2",
+        "common filler filler",
+    ])
+    rows = {(r["doc_id"], r["krank"]): r for r in
+            tfidf_keywords(docs, k=2).collect()}
+    # doc 0's top keyword is its exclusive high-tf term, never the
+    # corpus-wide 'common' (idf = ln(1) = 0)
+    assert rows[(0, 1)]["keyword"] == "rare1"
+    assert rows[(1, 1)]["keyword"] == "unique2"
+    assert rows[(0, 1)]["tfidf4"] > rows[(0, 2)]["tfidf4"]
+    common = [r for r in rows.values() if r["keyword"] == "common"]
+    assert all(r["tfidf4"] == 0.0 for r in common)
