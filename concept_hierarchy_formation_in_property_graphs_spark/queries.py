@@ -2833,3 +2833,44 @@ def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_keywords(docs, k=5)
+
+
+_PACK_SEQ_LEN = 512
+
+
+@_register(
+    "pl_packed_sequences",
+    f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST({md5_long_sql(f"CAST(doc_id AS VARCHAR) || ':' || '{_SHARD_SEED}'")}
+              % {_SHARD_N} AS INT)              AS shard,
+         {md5_long_sql(f"CAST(doc_id AS VARCHAR) || ':' || '{_SHARD_SEED}'")} AS k,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+planned AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM keyed
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(CAST(cum_end - n_tokens AS DOUBLE) / {_PACK_SEQ_LEN}) AS BIGINT)
+         AS seq_id,
+       CAST((cum_end - n_tokens) % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM planned
+""",
+)
+def pl_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-cut packing plan
+    (`sources/compaction.plan_packed_sequences`): docs hash-shuffled into
+    16 streams, token streams cut into 512-token windows; seq_id/offset
+    from a per-shard running sum (shards are the parallelism unit — no
+    global window). Pure function of (rows, seed) — the DuckDB twin
+    replays the identical arithmetic."""
+    from .sources.compaction import plan_packed_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return plan_packed_sequences(docs, seq_len=_PACK_SEQ_LEN,
+                                 n_shards=_SHARD_N, seed=_SHARD_SEED)

@@ -139,3 +139,50 @@ def read_training_shards(spark: SparkSession, path: str,
                          fmt: str = "parquet") -> DataFrame:
     """Read shards back, dropping the layout-only ``shard`` column."""
     return spark.read.format(fmt).load(path).drop("shard")
+
+
+def plan_packed_sequences(docs: DataFrame, seq_len: int, n_shards: int,
+                          seed: int = 0, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Deterministic concatenate-and-cut packing plan for LM training:
+
+    (doc_id, shard, seq_id, seq_offset, n_tokens)
+
+    Documents are hash-shuffled into ``n_shards`` streams (portable md5
+    key — same family as ``write_training_shards``), concatenated in key
+    order within each stream, and the token stream is cut into
+    fixed-``seq_len`` windows: ``seq_id = floor(cum_start / seq_len)``,
+    ``seq_offset = cum_start % seq_len``. Documents may straddle sequence
+    boundaries — the standard GPT-style packing, which wastes no tokens
+    on padding. The plan is a pure function of (rows, seed, seq_len,
+    n_shards): a data loader can be rebuilt from it at any time, and the
+    DuckDB oracle (`pl_packed_sequences`) replays the identical window
+    arithmetic.
+
+    Scale shape: ONE shuffle keyed by shard, then a per-shard running sum
+    (each shard is a single ordered window partition — ``n_shards`` is
+    the parallelism knob, sized so a shard's plan rows fit one task; the
+    cumulative sum never sees the corpus globally).
+    """
+    key = portable_shard_key([id_col], seed)
+    toks = F.size(F.split(F.col(text_col), " "))
+    keyed = docs.select(
+        F.col(id_col),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+        key.alias(_SHUFFLE_KEY),
+        toks.cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(_SHUFFLE_KEY, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_end = F.sum("n_tokens").over(w)
+    return keyed.select(
+        id_col, "shard", "n_tokens",
+        F.floor((cum_end - F.col("n_tokens")) / seq_len).alias("seq_id"),
+        F.pmod(cum_end - F.col("n_tokens"), F.lit(seq_len)).cast("long")
+        .alias("seq_offset"),
+    )

@@ -133,3 +133,35 @@ def test_portable_shards_match_manifest_query(spark, tmpdir):
         ).collect()
     }
     assert got == exp
+
+
+def test_packed_sequences_plan_invariants(spark):
+    from concept_hierarchy_formation_in_property_graphs_spark.sources.compaction import (
+        plan_packed_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = plan_packed_sequences(docs, seq_len=10, n_shards=2, seed=3)
+    rows = plan.collect()
+    assert len(rows) == 40 and all(r["n_tokens"] == 7 for r in rows)
+    assert all(0 <= r["seq_offset"] < 10 for r in rows)
+
+    # within a shard, the stream is gapless: each doc starts where the
+    # previous one ended (mod seq_len), with seq_id advancing on wrap
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["seq_id"], r["seq_offset"]))
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] * 10 + r["seq_offset"] == cum
+            cum += r["n_tokens"]
+
+    # determinism across partitioning
+    again = plan_packed_sequences(docs.repartition(5), seq_len=10,
+                                  n_shards=2, seed=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
