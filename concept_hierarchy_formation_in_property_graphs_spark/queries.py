@@ -2874,3 +2874,56 @@ def pl_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return plan_packed_sequences(docs, seq_len=_PACK_SEQ_LEN,
                                  n_shards=_SHARD_N, seed=_SHARD_SEED)
+
+
+@_register(
+    "ev_value_percentiles",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont("value", 0.5), 4)  AS p50,
+       round(quantile_cont("value", 0.9), 4)  AS p90,
+       round(quantile_cont("value", 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type — Spark's
+    `percentile` aggregate and DuckDB's quantile_cont share the
+    percentile_cont semantics, so the values hash-match exactly. The
+    exact form is the small-group shape; at 100 TB per-key cardinalities
+    switch to approx_percentile (mergeable KLL-style sketch) with the
+    same query skeleton."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@_register(
+    "ev_moving_avg",
+    """
+SELECT event_id, user_id, ts,
+       round(avg("value") OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM events WHERE user_id < 200
+""",
+)
+def ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-event trailing moving average per user (ROWS frame, not RANGE —
+    deterministic under ts ties via the event_id tie-break). One shuffle
+    keyed by user_id; the frame is bounded so state per row is O(7)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, W.currentRow))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.avg("value").over(w), 4).alias("ma7"),
+    )
