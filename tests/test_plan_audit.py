@@ -97,3 +97,38 @@ def test_decontaminate_broadcasts_bench_grams(spark):
     plan = _plan(spark, "dd_decontaminate")
     assert "BroadcastHashJoin" in plan, "bench gram set not broadcast"
     assert "SortMergeJoin" not in plan, "corpus grams shuffled for the join"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session's AQE skew-join path actually fires: a join with one
+    hot key (200k of 220k rows) must show SortMergeJoin(skew=true) in
+    the FINAL adaptive plan — the runtime answer to head-entity skew
+    that complements the explicit salting in operators/features.py."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        a = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("va"))
+        b = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("vb"))
+        j = a.join(b, "k")
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
