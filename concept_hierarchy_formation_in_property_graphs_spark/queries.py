@@ -2927,3 +2927,58 @@ def ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.round(F.avg("value").over(w), 4).alias("ma7"),
     )
+
+
+def _salient_entities_oracle_sql() -> str:
+    """PageRank ⋈ characteristic-set intents, top-2 per intent — composed
+    from the pagerank unrolled CTEs and the cs CTE over the same edges."""
+    pr = _pagerank_oracle_sql()
+    # reuse the full pagerank oracle as a subquery (it is already a
+    # complete SELECT); rank within each characteristic-set concept
+    return f"""
+WITH pr AS ({pr}),
+{_EDGES_SQL.strip().replace("edges AS", "edges2 AS", 1)},
+inct AS (
+  SELECT src AS id, rel_type FROM edges2
+  UNION ALL SELECT dst AS id, rel_type FROM edges2
+),
+cs AS (
+  SELECT id,
+         array_to_string(list_sort(list_distinct(list(rel_type))), ',') AS cid
+  FROM inct GROUP BY id
+)
+SELECT cid, id, salience_rank, scaled_rank4
+FROM (
+  SELECT cs.cid, pr.id, pr.scaled_rank4,
+         row_number() OVER (PARTITION BY cs.cid
+                            ORDER BY pr.scaled_rank4 DESC, pr.id) AS salience_rank
+  FROM pr JOIN cs ON pr.id = cs.id
+) WHERE salience_rank <= 2
+"""
+
+
+@_register("kg_salient_entities", _salient_entities_oracle_sql())
+def kg_salient_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank integrated into the concept pipeline: the two most
+    salient entities per characteristic-set concept (F3 intent) — the
+    canonical-representative picker a KG uses when a concept must be
+    summarized by its most linked members. Ranks on the rounded
+    scaled_rank4 with id tie-break (engine-portable ordering)."""
+    from .operators.pagerank import pagerank
+
+    edges = tpch_edges_cached(spark, sf_dir)
+    n = (edges.select(F.col("src").alias("id"))
+         .unionByName(edges.select(F.col("dst").alias("id")))
+         .distinct().count())
+    pr = pagerank(edges, iters=5, damping=0.85).select(
+        "id", F.round(F.col("rank") * F.lit(float(n)), 4).alias("scaled_rank4"))
+    cs = characteristic_sets_cached(spark, sf_dir).select(
+        "id", F.concat_ws(",", "rel_types").alias("cid"))
+    w = Window.partitionBy("cid").orderBy(
+        F.col("scaled_rank4").desc(), F.col("id"))
+    return (
+        pr.join(cs, "id")
+        .withColumn("salience_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("salience_rank") <= 2)
+        .select("cid", "id", "salience_rank", "scaled_rank4")
+    )
