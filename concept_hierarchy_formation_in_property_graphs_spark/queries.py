@@ -2982,3 +2982,33 @@ def kg_salient_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("salience_rank") <= 2)
         .select("cid", "id", "salience_rank", "scaled_rank4")
     )
+
+
+@_register(
+    "kg_degree_histogram",
+    f"""
+WITH {_EDGES_SQL.strip()}, {_DEGS_SQL.strip()}
+SELECT CAST(length(bin(CAST(deg AS BIGINT))) - 1 AS BIGINT) AS deg_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg
+FROM degs WHERE deg > 0
+GROUP BY 1
+""",
+)
+def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the entity graph — the
+    skew evidence behind the engine's salting (`operators/features.py`)
+    and AQE skew-join gates: the top bucket holds the hub entities whose
+    partitions would dominate an unsalted shuffle. One aggregate over
+    the materialized degree table."""
+    edges = tpch_edges_cached(spark, sf_dir)
+    degs = degrees(edges).where(F.col("deg") > 0)
+    # exact integer log2 (binary length − 1) — floor(ln/ln) would sit one
+    # ulp from the boundary at exact powers of two
+    bucket = F.length(F.bin(F.col("deg").cast("long"))) - 1
+    return degs.groupBy(bucket.cast("long").alias("deg_bucket")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )
