@@ -3012,3 +3012,38 @@ def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").cast("long").alias("min_deg"),
         F.max("deg").cast("long").alias("max_deg"),
     )
+
+
+@_register(
+    "ev_props_stats",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_distinct_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k4,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def ev_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON handling: the events table's ``props`` column
+    is a JSON string; parse it with a declared schema (`from_json` —
+    schema'd parsing keeps the plan codegen'd and lets unused JSON fields
+    prune away, unlike regex extraction) and aggregate per event type.
+    avg over integer payloads is exact in double, so the hash gate holds
+    bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k LONG")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+            F.round(F.avg("k"), 4).alias("avg_k4"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
