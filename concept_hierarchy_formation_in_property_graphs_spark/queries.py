@@ -2745,45 +2745,31 @@ def tx_admission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one pass and the six counts come from a single aggregate
     (`stack` unpivot), so the funnel costs one extra job, not six."""
     from .operators.dedup import decontaminate
-    from .operators.textstats import (
-        fingerprints, language_id, quality_scores, repetition_signals,
-    )
+    from .operators.textstats import admission_signals
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 23 == 0)
     train = docs.where(F.col("doc_id") % 23 != 0)
 
-    scored = (
-        quality_scores(train)
-        .join(language_id(train), "doc_id")
-        .join(fingerprints(train), "doc_id")
-    )
+    sig = admission_signals(train)  # one pass for all per-doc signals
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     s3_keep = (
-        scored.where((F.col("quality4") >= 0.5) & (F.col("lang_pred") == "en"))
+        sig.where((F.col("quality4") >= 0.5) & (F.col("lang_pred") == "en"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", F.lit(True).alias("kept"))
     )
-    rep_ok = (
-        repetition_signals(train)
-        .where((F.col("dup_trigram_frac4") <= 0.2)
-               & (F.col("top_bigram_frac4") <= 0.125)
-               & (F.col("max_token_run") <= 2))
-        .select("doc_id", F.lit(True).alias("rep_ok"))
-    )
     cont = decontaminate(train, bench, n=4).select(
         "doc_id", F.lit(True).alias("contaminated"))
 
-    flags = (
-        scored.join(s3_keep, "doc_id", "left")
-        .join(rep_ok, "doc_id", "left")
-        .join(cont, "doc_id", "left")
-    )
+    flags = sig.join(s3_keep, "doc_id", "left").join(cont, "doc_id", "left")
     q_ok = F.col("quality4") >= 0.5
     en_ok = q_ok & (F.col("lang_pred") == "en")
     kept = F.coalesce(F.col("kept"), F.lit(False))
-    rok = kept & F.coalesce(F.col("rep_ok"), F.lit(False))
+    rep_cond = ((F.col("dup_trigram_frac4") <= 0.2)
+                & (F.col("top_bigram_frac4") <= 0.125)
+                & (F.col("max_token_run") <= 2))
+    rok = kept & rep_cond
     clean = rok & ~F.coalesce(F.col("contaminated"), F.lit(False))
 
     def n(cond):

@@ -35,10 +35,7 @@ def run(spark, documents_path: str, workdir: str, bench_path: str | None = None,
         decontaminate,
     )
     from concept_hierarchy_formation_in_property_graphs_spark.operators.textstats import (
-        fingerprints,
-        language_id,
-        quality_scores,
-        repetition_signals,
+        admission_signals,
     )
     from concept_hierarchy_formation_in_property_graphs_spark.plans.checkpoint import (
         StageRunner,
@@ -51,14 +48,12 @@ def run(spark, documents_path: str, workdir: str, bench_path: str | None = None,
     runner = StageRunner(spark, workdir)
 
     def build_signals():
+        # one fused pass: projection signals share a single scan, only the
+        # two aggregate-shaped repetition signals join in (3 scans + 2
+        # joins vs 6 scans + 5 joins for the naive composition)
         w = Window.partitionBy("fingerprint").orderBy("doc_id")
-        return (
-            quality_scores(docs)
-            .join(language_id(docs), "doc_id")
-            .join(fingerprints(docs), "doc_id")
-            .join(repetition_signals(docs), "doc_id")
-            .withColumn("fp_rank", F.row_number().over(w).cast("long"))
-        )
+        return admission_signals(docs).withColumn(
+            "fp_rank", F.row_number().over(w).cast("long"))
 
     signals = runner.stage("c1_signals", build_signals)
 
