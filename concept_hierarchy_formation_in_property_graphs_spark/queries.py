@@ -3033,3 +3033,55 @@ def ev_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+_REP_ALL_SQL = (
+    _REP_OK_SQL.strip()
+    .replace("rep_ok AS (", "rep_all AS (")
+    .replace("SELECT rtri.doc_id\n  FROM",
+             "SELECT rtri.doc_id, dup_trigram_frac4, top_bigram_frac4, "
+             "max_token_run\n  FROM")
+    .replace("  WHERE dup_trigram_frac4 <= 0.2 AND top_bigram_frac4 <= 0.125\n"
+             "        AND max_token_run <= 2\n", "")
+)
+
+_SCORED_SQL = f"""
+scored AS (
+  SELECT doc_id,
+         round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * least((CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 0.1, 1.0), 4) AS quality4,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                        x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.05
+              THEN 'en' ELSE 'other' END AS lang_pred,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fingerprint
+  FROM train
+)"""
+
+
+@_register(
+    "tx_admission_signals",
+    f"""
+WITH train AS (SELECT * FROM documents),
+{_REP_ALL_SQL},
+{_SCORED_SQL.strip()}
+SELECT s.doc_id, quality4, lang_pred, fingerprint,
+       dup_trigram_frac4, top_bigram_frac4, max_token_run
+FROM scored s JOIN rep_all r ON s.doc_id = r.doc_id
+""",
+)
+def tx_admission_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused per-document signal table
+    (`operators/textstats.admission_signals`) — what a curation run
+    persists as its c1 stage: every projection-shaped signal from one
+    shared tokenization plus the two aggregate-shaped repetition
+    signals. The curation job and the funnel query both consume this."""
+    from .operators.textstats import admission_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return admission_signals(docs)
