@@ -53,3 +53,21 @@ def test_catalog_registers_every_query(spark):
     from concept_hierarchy_formation_in_property_graphs_spark import queries as q
 
     assert set(names) == set(q.registry())
+
+
+def test_view_filter_pushes_into_parquet_scan(spark):
+    """User SQL on top of a catalog view fuses with the view's plan:
+    a doc_id filter written OVER the view must reach the parquet scan's
+    PushedFilters — the view is the same lazy plan, not a materialized
+    boundary."""
+    import io
+    from contextlib import redirect_stdout
+
+    register_catalog(spark, SF_DIR, include=["tx_quality_scores"])
+    df = spark.sql("SELECT * FROM tx_quality_scores WHERE doc_id = 7")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "EqualTo(doc_id,7)" in plan, "filter did not push through the view"
+    assert "struct<doc_id:bigint,text:string>" in plan  # pruned scan
