@@ -3085,3 +3085,72 @@ def tx_admission_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return admission_signals(docs)
+
+
+@_register(
+    "ev_user_retention",
+    """
+WITH firstday AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity a JOIN firstday f ON a.user_id = f.user_id
+GROUP BY f.cohort, datediff('day', f.cohort, a.day)
+""",
+)
+def ev_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each later active day — two map-side-combinable
+    aggregates and one equi-join keyed by user_id. The classic
+    engagement query every analytics engine must answer."""
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(firstday, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").alias("day_offset"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@_register(
+    "tx_zipf_slope",
+    """
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(c), ln(CAST(r AS DOUBLE))), 4) AS zipf_slope4
+FROM ranked
+""",
+)
+def tx_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary diagnostics in one row: type/token counts and
+    the Zipf log-log slope (regr_slope over ln(freq) vs ln(rank) — the
+    built-in least-squares aggregate, partial-mergeable in both
+    engines). Natural corpora sit near −1; a slope far off flags
+    synthetic or degenerate text. The vocabulary is one
+    map-side-combinable aggregate; the global rank window runs over the
+    vocabulary table, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    ranked = tf.withColumn("r", F.row_number().over(w).cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(F.regr_slope(F.log("c"), F.log("r")), 4).alias("zipf_slope4"),
+    )
