@@ -447,3 +447,36 @@ def run_stream_available_now(result: DataFrame, query_name: str,
             "memory table would be partial"
         )
     return q
+
+
+def run_watermark_dedup_stream(events_stream: DataFrame, out_dir: str,
+                               key_cols: list[str] | None = None,
+                               ts_col: str = "ts", delay: str = "1 hour",
+                               timeout_sec: int = 300):
+    """Built-in streaming dedup: ``dropDuplicatesWithinWatermark`` keeps
+    the first arrival per key and ages its dedup state out with the
+    watermark — O(keys-within-delay) state instead of the unbounded
+    all-history state plain streaming ``dropDuplicates`` would hold.
+
+    This is the engine-native complement to ``run_dedup_stream``: that
+    operator deduplicates against a *persistent cross-run* seen store
+    (corpus ingestion), this one bounds state for *within-stream*
+    duplicate events (at-least-once sources re-delivering inside the
+    delay window). Appends the surviving rows to a parquet sink with an
+    AvailableNow drain.
+    """
+    key_cols = key_cols or ["event_id"]
+    q = (
+        events_stream.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .writeStream.format("parquet")
+        .option("path", out_dir + "/data")
+        .option("checkpointLocation", out_dir + "/_ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("watermark dedup stream did not drain")
+    return q

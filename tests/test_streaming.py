@@ -297,3 +297,38 @@ def test_prune_state_retention_and_time_travel_guard(spark):
             hierarchy_at(spark, state_dir, 3)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_watermark_dedup_stream_equals_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over an at-least-once source: the
+    drained sink holds exactly the batch-distinct event set (duplicate
+    rows are byte-identical, so the kept-first policy is unambiguous)."""
+    import datetime as dt
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        run_watermark_dedup_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), f"u{i % 3}") for i in range(30)]
+    dups = rows[::3]  # every 3rd event re-delivered
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "event_id long, ts timestamp, user string") \
+        .write.parquet(src + "/b0")
+    spark.createDataFrame(dups + rows[1::3],
+                          "event_id long, ts timestamp, user string") \
+        .write.parquet(src + "/b1")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "out")
+    run_watermark_dedup_stream(stream, out, key_cols=["event_id"],
+                               delay="2 hours")
+    got = sorted(
+        (r["event_id"], r["user"])
+        for r in spark.read.parquet(out + "/data").collect()
+    )
+    assert got == sorted((i, f"u{i % 3}") for i in range(30))
