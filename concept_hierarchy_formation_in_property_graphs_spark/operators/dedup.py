@@ -247,17 +247,117 @@ def _committed_batches(store_dir: str, sub: str) -> list[int]:
     )
 
 
-def _read_history(spark, store_dir: str, sub: str, below: int) -> DataFrame | None:
-    """Union of committed per-batch stores strictly below ``below`` (replays
-    of batch N must not see N's own partial writes)."""
+def _committed_gens(store_dir: str, sub: str) -> list[int]:
+    """Sorted covered-up-to batch ids of committed compaction generations
+    (``g{hi}`` dirs, each the union of every batch id <= hi)."""
     import os
 
-    ids = [b for b in _committed_batches(store_dir, sub) if b < below]
-    if not ids:
-        return None
-    return spark.read.parquet(
-        *[os.path.join(store_dir, sub, f"b{b}") for b in ids]
+    d = os.path.join(store_dir, sub)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(name[1:])
+        for name in os.listdir(d)
+        if name.startswith("g")
+        and name[1:].isdigit()
+        and os.path.exists(os.path.join(d, name, "_SUCCESS"))
     )
+
+
+def _history_paths(store_dir: str, sub: str, below: float) -> list[str]:
+    """Committed store paths covering exactly the batch ids < ``below``:
+    the newest applicable compaction generation (if any) plus the loose
+    ``b{i}`` dirs above it. Loose dirs at or below a generation's cover
+    are ignored even if a crashed compaction left them behind — the
+    generation is the authority once its _SUCCESS exists."""
+    import os
+
+    gens = [g for g in _committed_gens(store_dir, sub) if g < below]
+    g_hi = gens[-1] if gens else -1
+    paths = (
+        [os.path.join(store_dir, sub, f"g{g_hi}")] if gens else []
+    )
+    paths += [
+        os.path.join(store_dir, sub, f"b{b}")
+        for b in _committed_batches(store_dir, sub)
+        if g_hi < b < below
+    ]
+    return paths
+
+
+def _read_history(spark, store_dir: str, sub: str, below: int) -> DataFrame | None:
+    """Union of committed history strictly below ``below`` (replays of
+    batch N must not see N's own partial writes) — generation-aware."""
+    paths = _history_paths(store_dir, sub, below)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def compact_store(spark, store_dir: str,
+                  subs: tuple[str, ...] = ("seen", "bands", "toks", "retained"),
+                  max_records_per_file: int = 1_000_000) -> dict:
+    """Compact an incremental-ingest store's accumulated per-batch dirs.
+
+    After thousands of ingested batches the ``b{i}`` layout is a classic
+    small-file problem: every ``_read_history`` scan pays one listing +
+    footer per batch. This rewrites all committed batches STRICTLY BELOW
+    the newest one into a single ``g{hi}`` generation dir (few large
+    files), then removes the consumed ``b{i}`` dirs and superseded
+    generations.
+
+    Replay-idempotence is preserved by construction:
+
+    - the newest committed batch stays loose, so a crash-replay of batch
+      N (which must not see N's own writes) still reads exactly the ids
+      < N — the generation covers only ids <= N−1;
+    - the generation's own parquet ``_SUCCESS`` is its commit point;
+      cleanup runs only after commit, and ``_history_paths`` ignores
+      loose dirs at or below a committed generation's cover, so a crash
+      between commit and cleanup double-counts nothing;
+    - sequential batch ids (the ingest contract) guarantee no batch at
+      or below ``hi`` can ever replay once batch ``hi+1`` has committed.
+
+    Returns per-sub stats {sub: {covered, files_before, files_after}}.
+    """
+    import os
+    import shutil
+
+    stats: dict = {}
+    for sub in subs:
+        ids = _committed_batches(store_dir, sub)
+        if len(ids) < 2:
+            continue
+        hi = ids[-2]
+        if _committed_gens(store_dir, sub) and _committed_gens(store_dir, sub)[-1] >= hi:
+            continue  # already covered
+        paths = _history_paths(store_dir, sub, hi + 1)
+        files_before = sum(
+            1 for p in paths for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        df = spark.read.parquet(*paths)
+        n_rows = df.count()
+        n_parts = max(1, -(-n_rows // max_records_per_file))
+        gdir = os.path.join(store_dir, sub, f"g{hi}")
+        df.repartition(n_parts).write.mode("overwrite") \
+            .option("maxRecordsPerFile", max_records_per_file).parquet(gdir)
+        # committed — now retire the consumed inputs
+        for g in _committed_gens(store_dir, sub):
+            if g < hi:
+                shutil.rmtree(os.path.join(store_dir, sub, f"g{g}"))
+        for b in ids:
+            if b <= hi:
+                shutil.rmtree(os.path.join(store_dir, sub, f"b{b}"))
+        files_after = sum(
+            1 for f in os.listdir(gdir) if f.endswith(".parquet")
+        )
+        stats[sub] = {
+            "covered": hi,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+    return stats
 
 
 def ingest_batch_exact(batch: DataFrame, store_dir: str, batch_id: int,
@@ -375,15 +475,12 @@ def ingest_batch_near_dup(batch: DataFrame, store_dir: str, batch_id: int,
 
 
 def load_retained(spark, store_dir: str) -> DataFrame:
-    """Union of all committed retained batches (the deduplicated corpus)."""
-    import os
-
-    ids = _committed_batches(store_dir, "retained")
-    if not ids:
+    """Union of all committed retained batches (the deduplicated corpus)
+    — generation-aware, so it reads compacted stores too."""
+    paths = _history_paths(store_dir, "retained", float("inf"))
+    if not paths:
         raise ValueError(f"no committed batches under {store_dir}")
-    return spark.read.parquet(
-        *[os.path.join(store_dir, "retained", f"b{b}") for b in ids]
-    )
+    return spark.read.parquet(*paths)
 
 
 def exact_jaccard_pairs(docs: DataFrame, text_col: str = "text",

@@ -144,7 +144,10 @@ def decode_asset(data: bytes, kind: str) -> dict:
     path (their payloads are synthetic bytes); real PNG/WAV payloads
     through the SAME DataFrame operator decode for real (pytest-covered)."""
     if kind == "image" and data[:8] == PNG_MAGIC:
-        m = decode_png(data)
+        try:
+            m = decode_png(data)
+        except Exception:  # 16-bit/interlaced/truncated PNG → stub, like WAV
+            return _decode_stub(data, kind)
         return {"width": m["width"], "height": m["height"],
                 "channels": m["channels"]}
     if kind == "audio" and data[:4] == b"RIFF" and data[8:12] == b"WAVE":

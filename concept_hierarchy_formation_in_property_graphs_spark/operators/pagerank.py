@@ -11,9 +11,14 @@ addition in the same spirit as its graph feature extraction — a global
 rather than 1-hop structural feature.
 
 Execution shape (100 TB design):
-- Each iteration is ONE equi-join (edges ⋈ ranks on src) + ONE aggregate
-  keyed by dst — both shuffle on the node id, the natural partitioning a
-  bucketed edge table (`sources/bucketed.py`) makes exchange-free.
+- The edge table is degree-annotated (outdeg(src)) and hash-partitioned on
+  ``src`` ONCE before the loop, then ``persist()``ed — the cached
+  InMemoryTableScan keeps its HashPartitioning (a localCheckpoint would
+  NOT: it scans back as ExistingRDD with UnknownPartitioning), so the
+  per-iteration ``edges ⋈ ranks`` join never re-exchanges the (large)
+  edge side. Each iteration pays only the node-sized rank-state exchange
+  plus the dst-keyed aggregate; on a bucketed edge table
+  (`sources/bucketed.py`) even the up-front partition pass disappears.
 - The rank state is node-sized, `localCheckpoint`ed every iteration: the
   DAG stays constant-depth (no 2^iters lineage blowup — dangling mass and
   contributions both re-read the materialized state), which is exactly the
@@ -51,25 +56,54 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     ~10^7 nodes (3e-6) and acceptable to ~10^8 (3e-4); past that widen to
     a 128-bit key pair (two seeded hashes) or set ``hash_keys=False``.
     """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
     if hash_keys:
+        # one distinct over the raw ids serves BOTH the surrogate→orig
+        # map-back and the node set (checkpointed: used twice)
         id_map = (
             edges.select(F.col(src_col).alias("orig"))
             .unionByName(edges.select(F.col(dst_col).alias("orig")))
             .distinct()
             .select(F.xxhash64("orig").alias("id"), "orig")
+            .localCheckpoint(eager=True)
         )
+        node_ids = id_map.select("id")
         edges = edges.select(
             F.xxhash64(src_col).alias(src_col), F.xxhash64(dst_col).alias(dst_col))
-        edges = edges.localCheckpoint(eager=True)
+    else:
+        node_ids = (
+            edges.select(F.col(src_col).alias("id"))
+            .unionByName(edges.select(F.col(dst_col).alias("id")))
+            .distinct()
+        )
 
-    out_deg = (
-        edges.groupBy(F.col(src_col).alias("id"))
-        .agg(F.count("*").alias("od"))
+    # Degree-annotated edge list, hash-partitioned on src ONCE and
+    # persist()ed — NOT localCheckpoint: a checkpointed RDD scans back as
+    # ExistingRDD with UnknownPartitioning (measured, .explain), which
+    # would re-exchange the edges every iteration, while InMemoryTableScan
+    # keeps HashPartitioning(id, shuffle_n), so ENSURE_REQUIREMENTS
+    # exchanges only the node-sized rank state inside the loop. (persist
+    # is also evict-safe: lineage is retained, unlike a localCheckpoint
+    # block loss which is unrecoverable.) The out-degree is a window
+    # count over the SAME partitioning — satisfied by the repartition, so
+    # the degree annotation costs a per-partition sort, not a join or a
+    # second exchange. od is carried (not a precomputed 1/od weight) so
+    # the loop's sum(rank/od) stays bit-identical to the unrolled-CTE
+    # oracle: rank*(1/od) differs from rank/od in the last ULP.
+    edges_w = (
+        edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("dst_id"))
+        .repartition(shuffle_n, "id")
+        .withColumn("od", F.count("*").over(Window.partitionBy("id")))
+        .persist()
     )
+    edges_w.count()  # materialize once, before the loop
+    out_deg = edges_w.groupBy("id").agg(F.first("od").alias("od"))
     nodes = (
-        edges.select(F.col(src_col).alias("id"))
-        .unionByName(edges.select(F.col(dst_col).alias("id")))
-        .distinct()
+        node_ids
         .join(out_deg, "id", "left")
         .na.fill({"od": 0})
         .localCheckpoint(eager=True)
@@ -84,8 +118,7 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
         dangling = ranks.where(F.col("od") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         contrib = (
-            edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("dst_id"))
-            .join(ranks.select("id", "od", "rank"), "id")
+            edges_w.join(ranks.select("id", "rank"), "id")
             .groupBy(F.col("dst_id").alias("id"))
             .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
         )
@@ -100,6 +133,10 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
                     + F.col("dm") / F.lit(float(n)))).alias("rank"),
             )
         )
+    # final node-sized checkpoint truncates the lineage off edges_w so the
+    # (loop-scoped) cache can be released before the result is consumed
+    ranks = ranks.localCheckpoint(eager=True)
+    edges_w.unpersist()
     if hash_keys:
         return (ranks.join(id_map, "id")
                 .select(F.col("orig").alias("id"), "rank"))

@@ -269,16 +269,45 @@ def _committed_state_versions(state_dir: str) -> list[int]:
     return sorted(out)
 
 
-def load_hierarchy_state(spark: SparkSession, state_dir: str):
-    """The committed intent-state snapshot, or None before the first batch."""
+def _committed_inst_batches(state_dir: str) -> list[int]:
+    """Sorted batch ids whose inst/b{id} instance dir finished writing
+    (parquet _SUCCESS marker) — mirror of :func:`_committed_state_versions`."""
+    import os
+
+    idir = os.path.join(state_dir, "inst")
+    if not os.path.isdir(idir):
+        return []
+    return sorted(
+        int(name[1:])
+        for name in os.listdir(idir)
+        if name.startswith("b")
+        and name[1:].isdigit()
+        and os.path.exists(os.path.join(idir, name, "_SUCCESS"))
+    )
+
+
+def current_version(state_dir: str) -> int | None:
+    """Batch id the CURRENT pointer names, or None before the first commit.
+    CURRENT is the transaction authority: dirs above it (state/v{N} or
+    inst/b{N} left by a run that crashed before repointing) are orphans a
+    relaunch overwrites — readers must never union them in."""
     import os
 
     cur = os.path.join(state_dir, "CURRENT")
     if not os.path.exists(cur):
         return None
     with open(cur) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(state_dir, "state", version))
+        return int(f.read().strip().lstrip("v"))
+
+
+def load_hierarchy_state(spark: SparkSession, state_dir: str):
+    """The committed intent-state snapshot, or None before the first batch."""
+    import os
+
+    v = current_version(state_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, "state", f"v{v}"))
 
 
 def hierarchy_from_state_dir(spark: SparkSession, state_dir: str,
@@ -291,10 +320,17 @@ def hierarchy_from_state_dir(spark: SparkSession, state_dir: str,
     state = load_hierarchy_state(spark, state_dir)
     if state is None:
         raise ValueError(f"no committed state under {state_dir}")
-    # per-batch subdirectories (replay-safe overwrite layout)
-    inst = spark.read.option("recursiveFileLookup", "true").parquet(
-        os.path.join(state_dir, "inst")
-    )
+    # only _SUCCESS-committed inst/b{N} dirs at or below CURRENT — a
+    # half-written batch dir, or an orphan above a crashed run's CURRENT
+    # (about to be overwritten by the relaunch), must not contribute
+    # duplicate assignments
+    cur = current_version(state_dir)
+    paths = [
+        os.path.join(state_dir, "inst", f"b{b}")
+        for b in _committed_inst_batches(state_dir)
+        if b <= cur
+    ]
+    inst = spark.read.parquet(*paths)
     return _hierarchy_from_state(
         spark, state, inst, root_seed="c", max_depth=64,
         driver_threshold=200_000, galois=galois,
@@ -353,14 +389,7 @@ def hierarchy_at(spark: SparkSession, state_dir: str, batch_id: int,
         )
     snap = versions[-1]
     idir = os.path.join(state_dir, "inst")
-    inst_batches = sorted(
-        int(name[1:])
-        for name in os.listdir(idir)
-        if name.startswith("b")
-        and name[1:].isdigit()
-        and os.path.exists(os.path.join(idir, name, "_SUCCESS"))
-    )
-    wanted = [b for b in inst_batches if b <= batch_id]
+    wanted = [b for b in _committed_inst_batches(state_dir) if b <= batch_id]
     # the snapshot must cover every instance batch in the window — a
     # pruned intermediate snapshot silently falling back to older state
     # would drop those batches' intents

@@ -104,8 +104,22 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     dup_tri = docs.select(
         "doc_id", _dup_trigram_col(text_col).alias("dup_trigram_frac4"))
-    return (dup_tri.join(_top_bigram_agg(docs, text_col), "doc_id")
-            .join(_max_run_agg(docs, text_col), "doc_id"))
+    return _join_agg_signals(dup_tri, docs, text_col)
+
+
+def _join_agg_signals(flat: DataFrame, docs: DataFrame,
+                      text_col: str) -> DataFrame:
+    """Attach the two aggregate-shaped repetition signals to a per-doc
+    projection. LEFT joins, not inner: ``_top_bigram_agg`` emits no row
+    for documents with fewer than two tokens (the bigram explode is
+    empty), and an inner join would silently drop those docs from the
+    signal table — and from every admission count downstream. The
+    defaults are the semantically-true values for a short doc: no bigram
+    exists, so top-bigram coverage is 0.0; ``split`` always yields at
+    least one token, so the longest run is at least 1."""
+    return (flat.join(_top_bigram_agg(docs, text_col), "doc_id", "left")
+            .join(_max_run_agg(docs, text_col), "doc_id", "left")
+            .na.fill({"top_bigram_frac4": 0.0, "max_token_run": 1}))
 
 
 def _grams_col(text_col: str, width: int):
@@ -228,5 +242,4 @@ def admission_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("fingerprint"),
         _dup_trigram_col(text_col).alias("dup_trigram_frac4"),
     )
-    return (flat.join(_top_bigram_agg(docs, text_col), "doc_id")
-            .join(_max_run_agg(docs, text_col), "doc_id"))
+    return _join_agg_signals(flat, docs, text_col)

@@ -51,9 +51,7 @@ def run(spark, documents_path: str, workdir: str, bench_path: str | None = None,
         # one fused pass: projection signals share a single scan, only the
         # two aggregate-shaped repetition signals join in (3 scans + 2
         # joins vs 6 scans + 5 joins for the naive composition)
-        w = Window.partitionBy("fingerprint").orderBy("doc_id")
-        return admission_signals(docs).withColumn(
-            "fp_rank", F.row_number().over(w).cast("long"))
+        return admission_signals(docs)
 
     signals = runner.stage("c1_signals", build_signals)
 
@@ -65,11 +63,19 @@ def run(spark, documents_path: str, workdir: str, bench_path: str | None = None,
         contaminated = None
 
     def build_admitted():
+        # fingerprint dedup ranks AFTER the quality/language predicates —
+        # the same stage order as tx_admission_funnel and its oracle, so
+        # the funnel diagnostic describes exactly this job's admitted set
+        # (a doc whose fingerprint twin fails quality must not shadow it)
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
         keep = (
             signals.where(
                 (F.col("quality4") >= min_quality)
                 & (F.col("lang_pred") == "en")
-                & (F.col("fp_rank") == 1)
+            )
+            .withColumn("fp_rank", F.row_number().over(w).cast("long"))
+            .where(
+                (F.col("fp_rank") == 1)
                 & (F.col("dup_trigram_frac4") <= max_dup_trigram)
                 & (F.col("top_bigram_frac4") <= max_top_bigram)
                 & (F.col("max_token_run") <= max_token_run)

@@ -36,38 +36,27 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
-        _canonical_intents,
-        intent_state,
-        merge_intent_state,
-    )
     from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        current_version,
         hierarchy_from_state_dir,
-        load_hierarchy_state,
+        merge_batch_into_state,
     )
 
     spark = SparkSession.builder.appName("chf-incremental-ingest").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     batch = spark.read.parquet(args.batch)
-    prev = load_hierarchy_state(spark, args.state_dir)
-    delta = intent_state(batch)
-    state = delta if prev is None else merge_intent_state(prev, delta)
-
-    versions_dir = os.path.join(args.state_dir, "state")
-    os.makedirs(versions_dir, exist_ok=True)
-    existing = [int(v[1:]) for v in os.listdir(versions_dir) if v.startswith("v")]
-    version = (max(existing) + 1) if existing else 0
-    state.write.mode("overwrite").parquet(os.path.join(versions_dir, f"v{version}"))
-    # per-version subdirectory with overwrite (same replay-safe layout as
-    # run_hierarchy_stream): a re-launched batch rewrites, never duplicates
-    _canonical_intents(batch).write.mode("overwrite").parquet(
-        os.path.join(args.state_dir, "inst", f"b{version}")
-    )
-    tmp = os.path.join(args.state_dir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{version}")
-    os.replace(tmp, os.path.join(args.state_dir, "CURRENT"))
+    # Version id from the CURRENT pointer, NOT a raw directory listing:
+    # a run that crashed after writing state/v{N} + inst/b{N} but before
+    # repointing CURRENT leaves orphan dirs above CURRENT, and the
+    # relaunch must OVERWRITE them (merge_batch_into_state's idempotent
+    # replay contract) rather than allocate v{N+1} and duplicate the
+    # batch's instances in both inst/b{N} and inst/b{N+1}.
+    cur = current_version(args.state_dir)
+    version = 0 if cur is None else cur + 1
+    # derives prev from the last _SUCCESS-committed snapshot < version,
+    # writes state/v{version} + inst/b{version}, then repoints CURRENT
+    merge_batch_into_state(batch, version, args.state_dir)
 
     out = hierarchy_from_state_dir(spark, args.state_dir, galois=args.galois)
     summary = {

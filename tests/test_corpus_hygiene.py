@@ -52,6 +52,27 @@ def test_repetition_signals_short_doc_guard(spark):
     assert row["max_token_run"] == 1
 
 
+def test_repetition_signals_keep_sub_bigram_docs(spark):
+    """1-token and empty-text docs have NO bigrams — the aggregate-shaped
+    signals emit no row for them, and an inner join would silently drop
+    the docs from the signal table (and from every admission count
+    downstream). They must survive with the semantically-true defaults:
+    top-bigram coverage 0.0, longest run 1."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.textstats import (
+        admission_signals,
+    )
+
+    docs = _docs(spark, ["solo", "", "x y"])
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {0, 1, 2}, "short docs vanished from the signals"
+    for d in (0, 1):
+        assert rows[d]["top_bigram_frac4"] == 0.0
+        assert rows[d]["max_token_run"] == 1
+        assert rows[d]["dup_trigram_frac4"] == 0.0
+    sig = admission_signals(docs)
+    assert sig.count() == 3, "admission_signals dropped short docs"
+
+
 def test_stratified_sample_deterministic_and_capped(spark):
     df = spark.createDataFrame(
         [(i, f"s{i % 3}") for i in range(40)], "doc_id long, source string"

@@ -138,3 +138,69 @@ def test_streaming_dedup_equals_batch(spark, store):
         assert retained.count() < docs.count(), "no dups dropped; vacuous"
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_compact_store_preserves_semantics(spark, store):
+    """~50 ingested batches → compact → retained set unchanged, the
+    history scan reads far fewer dirs/files, and the NEXT ingest against
+    the compacted store still drops exactly what it would have dropped
+    (committed-generation authority, loose newest batch preserved)."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.dedup import (
+        _history_paths,
+        compact_store,
+        dedup_exact,
+    )
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") < 1000)
+    dup_tail = docs.where(F.col("doc_id") >= 1000)  # copies of docs 0..9
+    ids = sorted(r.doc_id for r in base.select("doc_id").collect())
+    bounds = ids[1::1]  # one doc per batch → ~50 batches
+    for i, b in enumerate(_batches(base, bounds)):
+        ingest_batch_exact(b, store, i)
+    n_batches = i + 1
+    assert n_batches >= 40
+    before = _ids(load_retained(spark, store))
+    paths_before = len(_history_paths(store, "seen", float("inf")))
+
+    stats = compact_store(spark, store)
+    assert stats["seen"]["covered"] == n_batches - 2
+    assert stats["seen"]["files_after"] < stats["seen"]["files_before"]
+
+    paths_after = len(_history_paths(store, "seen", float("inf")))
+    assert paths_after == 2  # one generation + the loose newest batch
+    assert paths_after < paths_before
+    assert _ids(load_retained(spark, store)) == before
+
+    # ingest one more batch (all exact dups of history) post-compaction
+    retained = ingest_batch_exact(dup_tail, store, n_batches)
+    assert retained.count() == 0
+    assert _ids(load_retained(spark, store)) == _ids(dedup_exact(docs))
+
+
+def test_compact_store_idempotent_and_crash_safe(spark, store):
+    """A second compact is a no-op; a crash AFTER the generation commit
+    but BEFORE cleanup (simulated by re-creating a consumed loose dir)
+    must not double-count — the committed generation is the authority."""
+    import os
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.dedup import (
+        _history_paths,
+        compact_store,
+    )
+
+    docs = _docs(spark)
+    for i, b in enumerate(_batches(docs, [10, 20, 30, 40])):
+        ingest_batch_exact(b, store, i)
+    before = _ids(load_retained(spark, store))
+    stats1 = compact_store(spark, store)
+    assert "seen" in stats1
+    assert compact_store(spark, store) == {}  # already covered → no-op
+
+    # crashed-cleanup simulation: a stale loose dir at/below the cover
+    covered = stats1["retained"]["covered"]
+    stale = os.path.join(store, "retained", "b0")
+    spark.read.parquet(os.path.join(store, "retained", f"g{covered}")) \
+        .limit(1).write.mode("overwrite").parquet(stale)
+    assert stale not in _history_paths(store, "retained", float("inf"))
+    assert _ids(load_retained(spark, store)) == before

@@ -1,0 +1,117 @@
+"""Sketch aggregates: exact stats + published-error-bound contracts.
+
+Every sketch operator emits its exact counterpart alongside a
+``sketch_ok`` column asserting the sketch's error bound held — these
+tests pin the bound on real data AND on adversarial shapes (heavy
+duplication, skewed groups), plus the heavy-hitter superset guarantee
+that makes the two-pass plan exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_hierarchy_formation_in_property_graphs_spark.operators.sketches import (
+    _mg_merge,
+    approx_percentile_audit,
+    dup_rate_sketch,
+    heavy_hitters,
+    vocab_sketch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_vocab_sketch_bound_holds(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = vocab_sketch(docs).collect()
+    assert rows, "at least one source group"
+    assert all(r.sketch_ok for r in rows), [
+        (r.source, r.n_types_exact) for r in rows if not r.sketch_ok
+    ]
+    # exactness of the exact columns (independent recount)
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    truth = {
+        r.source: (r.nt, r.ty)
+        for r in toks.groupBy("source")
+        .agg(F.count("*").alias("nt"), F.countDistinct("t").alias("ty"))
+        .collect()
+    }
+    for r in rows:
+        assert (r.n_tokens, r.n_types_exact) == truth[r.source]
+
+
+def test_dup_rate_sketch_on_heavy_duplication(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    # plant 4 copies of every doc — dup rate exactly 0.75
+    many = docs
+    for i in (1, 2, 3):
+        many = many.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 10_000 * i))
+    row = dup_rate_sketch(many).collect()[0]
+    assert row.n_docs == 160 and row.n_unique_exact == 40
+    assert row.dup_rate4 == 0.75 and row.sketch_ok
+
+
+def test_approx_percentile_rank_contract(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = approx_percentile_audit(ev).collect()
+    types = ev.select("event_type").distinct().count()
+    assert len(rows) == types * 3
+    assert all(r.sketch_ok for r in rows)
+    # exact4 matches a straight percentile recount for one spot group
+    et = rows[0].event_type
+    spot = {r.pct: r.exact4 for r in rows if r.event_type == et}
+    truth = ev.where(F.col("event_type") == et).agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    ).collect()[0]
+    assert spot["p50"] == truth.p50 and spot["p99"] == truth.p99
+
+
+def test_mg_merge_bound():
+    # undercount error of a k-counter MG summary is < n/(k+1)
+    import collections
+
+    stream = (["hot"] * 50 + ["warm"] * 20
+              + [f"cold{i}" for i in range(60)] * 2)
+    k = 8
+    summary: dict = {}
+    for i in range(0, len(stream), 7):  # uneven batches
+        summary = _mg_merge(
+            summary, dict(collections.Counter(stream[i:i + 7])), k)
+    assert len(summary) <= k
+    n = len(stream)
+    true = collections.Counter(stream)
+    for item, est in summary.items():
+        assert est <= true[item]
+        assert true[item] - est < n / (k + 1)
+    # anything with frequency >= n/(k+1) must survive
+    for item, c in true.items():
+        if c > n / (k + 1):
+            assert item in summary, item
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    k = 100
+    got = {(r.item, r.cnt) for r in heavy_hitters(toks, "tok", k=k).collect()}
+    n = toks.count()
+    truth = {
+        (r.tok, r.c)
+        for r in toks.groupBy("tok").agg(F.count("*").alias("c"))
+        .where(F.col("c") * k >= n).collect()
+    }
+    assert got == truth and truth, f"{len(truth)} true heavy hitters"
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Raw tokens must reach the aggregate only through the broadcast
+    semi join — the full-vocabulary groupBy never appears."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    plan = heavy_hitters(toks, "tok", k=100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

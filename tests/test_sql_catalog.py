@@ -55,6 +55,41 @@ def test_catalog_registers_every_query(spark):
     assert set(names) == set(q.registry())
 
 
+def test_lazy_catalog_defers_builders_until_referenced(spark):
+    """LazyCatalog registers the FULL query surface at zero builder cost;
+    a view's builder (incl. the driver-coordinated ones like pagerank's
+    iteration loop) runs only when a sql() statement first names it."""
+    from concept_hierarchy_formation_in_property_graphs_spark import queries as q
+    from concept_hierarchy_formation_in_property_graphs_spark.sql_catalog import (
+        LazyCatalog,
+    )
+
+    spark.catalog.dropTempView("kg_pagerank")  # isolate from other tests
+    cat = LazyCatalog(spark, SF_DIR)
+    assert set(cat.pending) == set(q.registry())
+    assert cat.built == []
+    # full-surface registration must not run any builder: the pending
+    # views' temp views do not exist yet (eager registration of the same
+    # surface takes minutes — CHF_FULL_CATALOG)
+    assert not spark.catalog.tableExists("kg_pagerank")
+
+    rows = cat.sql("""
+        SELECT p.id, p.scaled_rank4, d.deg
+        FROM kg_pagerank p JOIN kg_degrees d ON p.id = d.id
+        ORDER BY p.scaled_rank4 DESC, p.id LIMIT 3
+    """).collect()
+    assert len(rows) == 3
+    assert set(cat.built) == {"kg_pagerank", "kg_degrees"}
+    assert "kg_concept_hierarchy" in cat.pending  # untouched stays unbuilt
+
+    # built views persist as ordinary temp views (no rebuild on reuse)
+    before = set(cat.built)
+    assert cat.sql("SELECT count(*) AS n FROM kg_degrees").collect()[0]["n"] > 0
+    assert set(cat.built) == before
+    # and raw tables are queryable without touching any view
+    assert cat.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"] == 25
+
+
 def test_view_filter_pushes_into_parquet_scan(spark):
     """User SQL on top of a catalog view fuses with the view's plan:
     a doc_id filter written OVER the view must reach the parquet scan's

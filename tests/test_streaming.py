@@ -332,3 +332,63 @@ def test_watermark_dedup_stream_equals_batch_distinct(spark, tmp_path):
         for r in spark.read.parquet(out + "/data").collect()
     )
     assert got == sorted((i, f"u{i % 3}") for i in range(30))
+
+
+def test_batch_job_crash_orphans_are_overwritten_not_duplicated(spark):
+    """The batch-ingest crash window: a run writes state/v{N} + inst/b{N}
+    (both _SUCCESS-committed) but dies before repointing CURRENT. The
+    relaunch must OVERWRITE the orphan dirs (version = CURRENT + 1), and
+    readers must ignore orphans above CURRENT — otherwise the batch's
+    instances appear in both inst/b{N} and inst/b{N+1} and every extent
+    double-counts."""
+    import os
+    import random
+
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.concepts import (
+        build_hierarchy,
+    )
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.streaming import (
+        current_version,
+        hierarchy_from_state_dir,
+        merge_batch_into_state,
+    )
+
+    rows = [
+        (f"r{k:03d}", sorted({random.Random(700 + k).choice("abcd") for _ in range(3)}))
+        for k in range(40)
+    ]
+    state_dir = tempfile.mkdtemp(prefix="chf_crash_state_")
+    try:
+        merge_batch_into_state(_inst_df(spark, rows[:20]), 0, state_dir)
+        # crashed run: batch 1 fully written, CURRENT never repointed
+        merge_batch_into_state(_inst_df(spark, rows[20:]), 1, state_dir)
+        with open(os.path.join(state_dir, "CURRENT"), "w") as f:
+            f.write("v0")  # rewind = crash before os.replace
+
+        # reader sees only the committed prefix — orphan b1 is invisible
+        assert current_version(state_dir) == 0
+        partial = hierarchy_from_state_dir(spark, state_dir)
+        want0 = sorted(map(tuple, build_hierarchy(
+            _inst_df(spark, rows[:20]))["concepts"].collect()))
+        assert sorted(map(tuple, partial["concepts"].collect())) == want0
+
+        # relaunch (run_incremental_job's derivation): CURRENT + 1 = 1 —
+        # overwrites the orphan v1/b1 instead of allocating v2/b2
+        version = current_version(state_dir) + 1
+        assert version == 1
+        merge_batch_into_state(_inst_df(spark, rows[20:]), version, state_dir)
+        assert not os.path.exists(os.path.join(state_dir, "state", "v2"))
+        assert not os.path.exists(os.path.join(state_dir, "inst", "b2"))
+
+        got = hierarchy_from_state_dir(spark, state_dir)
+        want = {
+            key: sorted(map(tuple, tbl.collect()))
+            for key, tbl in build_hierarchy(_inst_df(spark, rows)).items()
+            if key in ("concepts", "assignments")
+        }
+        for key, w in want.items():
+            assert sorted(map(tuple, got[key].collect())) == w, (
+                f"crash recovery diverged on {key}"
+            )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
