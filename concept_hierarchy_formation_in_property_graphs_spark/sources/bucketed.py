@@ -18,7 +18,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
                    fmt: str = "parquet") -> None:
-    """Persist ``df`` as a managed table bucketed+sorted by ``key``."""
+    """Persist ``df`` as a managed table bucketed+sorted by ``key``.
+
+    Reclaims an ORPHANED location first: a managed-table directory left on
+    disk by a crashed run (or a previous session whose in-memory catalog
+    is gone) makes ``saveAsTable`` raise LOCATION_ALREADY_EXISTS even in
+    overwrite mode, because the catalog no longer knows the table. Drop +
+    remove-location restores the overwrite semantics a rerun expects."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table.split(".")[-1].lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     (
         df.write.format(fmt)
         .mode("overwrite")
