@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "tx_repetition_signals",
     "dd_decontaminate",
     "kg_pagerank",
+    "tx_vocab_sketch",
+    "dd_dup_rate_sketch",
+    "ev_approx_percentiles",
+    "tx_heavy_tokens",
 ]
 
 

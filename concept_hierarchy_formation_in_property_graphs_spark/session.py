@@ -48,7 +48,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # heap scales with concurrency (same rule as tools/scaling_run.py):
+        # N simultaneous tasks each hold shuffle buffers + an Arrow batch,
+        # and a 16g heap under 32 tasks GC-thrashes exactly the queries
+        # that build per-task hash tables (observed as multi-10s outliers
+        # only at local[32], never at local[8]). -Xmx is a cap, not a
+        # reservation, so the larger ceiling costs nothing when idle.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(16, 2 * n)}g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
