@@ -411,7 +411,8 @@ def hierarchy_at(spark: SparkSession, state_dir: str, batch_id: int,
 
 
 def run_dedup_stream(docs_stream: DataFrame, store_dir: str,
-                     mode: str = "exact", timeout_sec: int = 300, **dedup_kw):
+                     mode: str = "exact", timeout_sec: int = 300,
+                     compact_every: int | None = None, **dedup_kw):
     """Streaming ingestion dedup: every micro-batch of documents
     (doc_id, text, ...) is deduplicated against the persisted seen store via
     ``dedup.ingest_batch_exact`` / ``ingest_batch_near_dup`` — the streaming
@@ -421,14 +422,27 @@ def run_dedup_stream(docs_stream: DataFrame, store_dir: str,
     write per-batch directories in overwrite mode, so an at-least-once
     replay rewrites instead of duplicating.
 
+    ``compact_every=K`` folds the store's accumulated per-batch dirs into
+    a single committed generation after every K-th batch
+    (``dedup.compact_store``) — without it a long-lived ingest pays one
+    directory listing + parquet footer per historical batch on every
+    micro-batch's history scan (the classic small-file creep). Compaction
+    runs AFTER the batch's own writes commit and covers only ids strictly
+    below the newest committed batch, so the replay contract is untouched:
+    a replay of batch N still reads exactly the ids < N (from the
+    generation), and a crash mid-compaction leaves the loose dirs as the
+    fallback authority.
+
     Read the deduplicated corpus with ``dedup.load_retained``.
     """
-    from .dedup import ingest_batch_exact, ingest_batch_near_dup
+    from .dedup import compact_store, ingest_batch_exact, ingest_batch_near_dup
 
     ingest = {"exact": ingest_batch_exact, "near_dup": ingest_batch_near_dup}[mode]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ingest(batch_df, store_dir, batch_id, **dedup_kw)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_store(batch_df.sparkSession, store_dir)
 
     q = (
         docs_stream.writeStream.foreachBatch(handle)

@@ -140,6 +140,39 @@ def test_streaming_dedup_equals_batch(spark, store):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_streaming_dedup_with_periodic_compaction(spark, store):
+    """compact_every=2 during a 5-micro-batch stream: retained corpus
+    unchanged vs the uncompacted stream semantics (one survivor per
+    distinct text), a committed generation exists, and the history reads
+    few paths instead of one per batch."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.dedup import (
+        _committed_gens,
+        _history_paths,
+    )
+
+    docs = _docs(spark)
+    src = tempfile.mkdtemp(prefix="chf_dedup_src_")
+    try:
+        for i, b in enumerate(_batches(docs, [10, 20, 30, 40])):
+            b.coalesce(1).write.mode("overwrite").parquet(f"{src}/seq={i}")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_dedup_stream(stream, store, mode="exact", compact_every=2)
+        retained = load_retained(spark, store)
+        n_texts = docs.select("text").distinct().count()
+        assert retained.count() == n_texts
+        assert retained.select("text").distinct().count() == n_texts
+        assert _committed_gens(store, "seen"), "no generation was committed"
+        # 5 batches ingested; history collapses to generation + loose tail
+        assert len(_history_paths(store, "seen", float("inf"))) <= 3
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_compact_store_preserves_semantics(spark, store):
     """~50 ingested batches → compact → retained set unchanged, the
     history scan reads far fewer dirs/files, and the NEXT ingest against
