@@ -2458,7 +2458,7 @@ SELECT
   COUNT(*)                                    AS n_docs,
   MIN(doc_id)                                 AS min_doc,
   MAX(doc_id)                                 AS max_doc,
-  SUM(n_chars)                                AS sum_chars
+  CAST(SUM(n_chars) AS BIGINT)                AS sum_chars
 FROM documents
 GROUP BY 1
 """,
