@@ -33,18 +33,22 @@ from pyspark.sql import functions as F
 
 def vocab_sketch(docs: DataFrame, text_col: str = "text",
                  by: str = "source", rsd: float = 0.02,
-                 bound: float = 0.06) -> DataFrame:
+                 bound: float = 0.10) -> DataFrame:
     """Per-group vocabulary size: exact + HLL++ contract check.
 
     (by, n_tokens, n_types_exact, sketch_ok)
 
     ``approx_count_distinct`` is Spark's HyperLogLog++ with target
     relative standard deviation ``rsd``; ``sketch_ok`` asserts the
-    estimate landed within ``bound`` (default 3σ, miss probability
-    ~2.7e-3 per group — and the estimate is deterministic for a given
-    input, so a green run stays green). At 100 TB the exact
-    count(DISTINCT) column is the one you drop: HLL shuffles a 2^p
-    register array per group instead of every distinct token.
+    estimate landed within ``bound``. rsd is a standard deviation, not a
+    hard guarantee, so the hash-matched contract column uses a WIDE 5σ
+    bound (miss probability ~6e-7 per group — an unlucky-but-correct
+    estimate on a future dataset must not turn a correctness gate red,
+    while a mis-wired sketch is off by far more than 5σ). The tight 3σ
+    check lives in tests/test_sketches.py against fixed fixtures, where
+    the estimate is deterministic. At 100 TB the exact count(DISTINCT)
+    column is the one you drop: HLL shuffles a 2^p register array per
+    group instead of every distinct token.
     """
     toks = docs.select(by, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     return (
@@ -63,7 +67,7 @@ def vocab_sketch(docs: DataFrame, text_col: str = "text",
 
 
 def dup_rate_sketch(docs: DataFrame, text_col: str = "text",
-                    rsd: float = 0.02, bound: float = 0.06) -> DataFrame:
+                    rsd: float = 0.02, bound: float = 0.10) -> DataFrame:
     """Corpus-level exact-duplicate rate: exact + HLL++ contract check.
 
     (n_docs, n_unique_exact, dup_rate4, sketch_ok)
@@ -71,7 +75,9 @@ def dup_rate_sketch(docs: DataFrame, text_col: str = "text",
     The dedup-rate estimate a crawl-curation run reports before paying
     for the real dedup: 1 − distinct(md5(text))/count(*). The HLL
     estimate needs one pass and O(registers) state; ``sketch_ok``
-    asserts it within ``bound`` of the exact distinct count.
+    asserts it within ``bound`` of the exact distinct count — 5σ wide
+    for the same reason as :func:`vocab_sketch` (rsd is a σ, not a
+    guarantee; the tight 3σ check is a test, not a correctness gate).
     """
     h = F.md5(F.col(text_col).cast("binary"))
     return (
@@ -174,24 +180,45 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     partition) and recounts exactly, so only candidate rows reach the
     aggregate. At 100 TB this replaces a full-vocabulary shuffle with a
     map-only pass plus an aggregate over a filtered sliver.
+
+    The MG pass also emits each partition's NON-NULL row count on a
+    sentinel row, so N (the threshold denominator) comes out of the same
+    single scan — no separate ``items.count()`` job — and counts the
+    same null-free universe the candidates and the recount see
+    (``value_counts`` drops nulls; so does the semi join). The output
+    ``item`` column keeps the input column's type — the schema is
+    derived, not hardcoded to string.
     """
     import pyarrow  # noqa: F401 — Arrow path required
 
+    item_type = df.schema[col].dataType.simpleString()
+
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary: dict = {}
+        n_part = 0
         for pdf in batches:
-            summary = _mg_merge(summary, pdf["item"].value_counts().to_dict(), k)
-        yield pd.DataFrame({"item": list(summary.keys())})
+            counts = pdf["item"].value_counts()  # drops nulls
+            n_part += int(counts.sum())
+            summary = _mg_merge(summary, counts.to_dict(), k)
+        cand = list(summary.keys())
+        # candidates carry n_part=0; one null-item sentinel carries the
+        # partition's row count, so sum(n_part) over everything is N
+        yield pd.DataFrame(
+            {"item": cand + [None], "n_part": [0] * len(cand) + [n_part]}
+        )
 
     items = df.select(F.col(col).alias("item"))
-    candidates = (
-        items.mapInPandas(mg_partition, "item string")
-        .distinct()
-    )
-    n = items.count()
+    # one scan of items; the MG output is tiny (≤ k+1 rows per partition)
+    mg = items.mapInPandas(
+        mg_partition, f"item {item_type}, n_part long"
+    ).localCheckpoint(eager=True)
+    candidates = mg.where(F.col("item").isNotNull()).select("item").distinct()
+    total = mg.agg(F.sum("n_part").cast("long").alias("n"))
     return (
         items.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .where(F.col("cnt") * k >= F.lit(n))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k >= F.col("n"))
+        .select("item", "cnt")
     )

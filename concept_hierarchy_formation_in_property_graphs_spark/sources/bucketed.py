@@ -13,7 +13,42 @@ lives in the catalog, not the parquet footers.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _managed_location(spark: SparkSession, table: str) -> str:
+    """Filesystem path the session's catalog would assign a MANAGED
+    ``table``. Qualified names resolve to ``<wh>/<db>.db/<tbl>`` — the
+    naive ``<wh>/<tbl>`` is the DEFAULT-db table's directory, a different
+    table's data."""
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    parts = [p.lower() for p in table.split(".")]
+    name = parts[-1]
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    if db == "default":
+        return os.path.join(wh, name)
+    return os.path.join(wh, f"{db}.db", name)
+
+
+def _catalog_owns_location(spark: SparkSession, loc: str) -> bool:
+    """True if any registered (non-temp) table's managed location is
+    ``loc`` — i.e. the directory is live catalog-owned data, not an
+    orphan. Compares computed managed locations; an EXTERNAL table
+    deliberately pointed inside the warehouse dir is out of scope."""
+    loc = os.path.normpath(loc)
+    for d in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(d.name):
+            if t.isTemporary:
+                continue
+            owned = _managed_location(spark, f"{d.name}.{t.name}")
+            if os.path.normpath(owned) == loc:
+                return True
+    return False
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
@@ -23,18 +58,27 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
     Reclaims an ORPHANED location first: a managed-table directory left on
     disk by a crashed run (or a previous session whose in-memory catalog
     is gone) makes ``saveAsTable`` raise LOCATION_ALREADY_EXISTS even in
-    overwrite mode, because the catalog no longer knows the table. Drop +
-    remove-location restores the overwrite semantics a rerun expects."""
-    spark = df.sparkSession
-    if not spark.catalog.tableExists(table):
-        import os
-        import shutil
-        from urllib.parse import urlparse
+    overwrite mode, because the catalog no longer knows the table.
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        loc = os.path.join(wh, table.split(".")[-1].lower())
+    Reclaim discipline (never destroy live data): the true managed
+    location is resolved db-qualifier-aware, the reclaim is refused if
+    any catalog entry still owns that location, and the orphan is
+    RENAMED aside rather than deleted — it is only removed after the new
+    table commits successfully, so a failed write leaves the old bytes
+    recoverable."""
+    spark = df.sparkSession
+    aside: str | None = None
+    if not spark.catalog.tableExists(table):
+        loc = _managed_location(spark, table)
         if os.path.isdir(loc):
-            shutil.rmtree(loc)
+            if _catalog_owns_location(spark, loc):
+                raise ValueError(
+                    f"refusing to reclaim {loc!r}: a catalog table still "
+                    f"owns this location but {table!r} does not exist — "
+                    "qualified-name mixup or shared-metastore race"
+                )
+            aside = f"{loc}.orphan-{uuid.uuid4().hex[:8]}"
+            os.rename(loc, aside)
     (
         df.write.format(fmt)
         .mode("overwrite")
@@ -42,6 +86,8 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
         .sortBy(key)
         .saveAsTable(table)
     )
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

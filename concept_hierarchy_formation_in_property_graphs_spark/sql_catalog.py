@@ -108,13 +108,20 @@ class LazyCatalog:
         return sorted(self._built)
 
     def materialize(self, name: str) -> DataFrame:
-        """Force one view's builder now; idempotent."""
+        """Force one view's builder now; idempotent.
+
+        The builder stays in ``_pending`` until BOTH it and the view
+        registration succeed — a builder that raises (transient executor
+        loss, a missing fixture) must surface its own error on every
+        retry, not a misleading TABLE_OR_VIEW_NOT_FOUND after the first.
+        """
         if name in self._built:
             return self._built[name]
-        fn = self._pending.pop(name)
+        fn = self._pending[name]
         df = fn(self._spark, self._sf_dir)
         df.createOrReplaceTempView(name)
         self._built[name] = df
+        del self._pending[name]
         return df
 
     def sql(self, query: str) -> DataFrame:

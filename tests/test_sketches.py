@@ -115,3 +115,48 @@ def test_heavy_hitters_plan_shape(spark):
     plan = heavy_hitters(toks, "tok", k=100)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_heavy_hitters_non_string_and_nulls(spark):
+    """ADVICE r4: the output item column keeps the input type, and N is
+    counted over NON-NULL items (the universe the candidates and the
+    recount see), so nulls can't inflate the threshold denominator."""
+    # 60 zeros, 30 ones, 10 distinct tail values, 100 nulls
+    vals = [0] * 60 + [1] * 30 + list(range(100, 110)) + [None] * 100
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(4)
+    hh = heavy_hitters(df, "x", k=4)
+    assert hh.schema["item"].dataType.simpleString() == "bigint"
+    got = {(r.item, r.cnt) for r in hh.collect()}
+    # non-null N = 100; threshold N/k = 25 -> {0: 60, 1: 30}
+    assert got == {(0, 60), (1, 30)}
+
+
+def test_heavy_hitters_single_scan_of_input(spark):
+    """The MG pass emits per-partition row counts, so N comes from the
+    sketch output — building the result must launch no separate
+    items.count() job over the raw input (scan count: MG pass once,
+    recount once)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    # jobs: localCheckpoint of the tiny MG output (scans items once),
+    # the broadcast of candidates + N, and the final collect (recount).
+    hh = heavy_hitters(toks, "tok", k=100)
+    # the MG output is checkpointed, so the final plan reads the raw
+    # source exactly once (the recount); candidates and N both come off
+    # the tiny checkpointed RDD.
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Scan ExistingRDD") == 2  # candidates + N
+
+
+def test_sketch_bounds_tight_on_fixture(spark):
+    """The hash-matched sketch_ok gate is deliberately 5-sigma wide
+    (ADVICE r4: rsd is a sigma, not a guarantee); the tight 3-sigma
+    check lives HERE, where the fixed fixture makes the HLL estimate
+    deterministic."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert all(r.sketch_ok for r in vocab_sketch(docs, bound=0.06).collect())
+    assert dup_rate_sketch(docs, bound=0.06).collect()[0].sketch_ok

@@ -43,3 +43,47 @@ def test_bucketed_join_is_shuffle_free_and_correct(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_reclaim_resolves_qualified_names(spark):
+    """ADVICE r4 (medium): write_bucketed('db.tbl') must reclaim
+    <wh>/db.db/tbl, never <wh>/tbl — the DEFAULT-db table of the same
+    name keeps its data."""
+    import os
+    from urllib.parse import urlparse
+
+    from concept_hierarchy_formation_in_property_graphs_spark.sources.bucketed import (
+        _catalog_owns_location,
+        _managed_location,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    spark.sql("DROP TABLE IF EXISTS bk_q")
+    spark.sql("DROP TABLE IF EXISTS bdb.bk_q")
+    try:
+        write_bucketed(df, "bk_q", "k", n_buckets=4)       # default db
+        default_loc = _managed_location(spark, "bk_q")
+        qual_loc = _managed_location(spark, "bdb.bk_q")
+        assert default_loc != qual_loc
+        assert qual_loc.endswith(os.path.join("bdb.db", "bk_q"))
+        # drop the qualified table from the catalog but leave an orphan
+        # dir at ITS location; the reclaim must touch only that dir
+        os.makedirs(qual_loc, exist_ok=True)
+        open(os.path.join(qual_loc, "junk"), "w").write("x")
+        write_bucketed(df, "bdb.bk_q", "k", n_buckets=4)
+        # the default-db twin survived and both tables read back
+        assert spark.table("bk_q").count() == 100
+        assert spark.table("bdb.bk_q").count() == 100
+        # the orphan was renamed aside and cleaned after the commit
+        parent = os.path.dirname(qual_loc)
+        assert not [d for d in os.listdir(parent) if ".orphan-" in d]
+        # ownership probe: a live managed location is never reclaimable
+        assert _catalog_owns_location(spark, default_loc)
+        assert not _catalog_owns_location(spark, default_loc + "_nope")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        assert os.path.isdir(os.path.join(wh, "bk_q"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_q")
+        spark.sql("DROP TABLE IF EXISTS bdb.bk_q")
+        spark.sql("DROP DATABASE IF EXISTS bdb")

@@ -106,3 +106,30 @@ def test_view_filter_pushes_into_parquet_scan(spark):
     plan = buf.getvalue()
     assert "EqualTo(doc_id,7)" in plan, "filter did not push through the view"
     assert "struct<doc_id:bigint,text:string>" in plan  # pruned scan
+
+
+def test_failed_builder_stays_pending_and_retries(spark):
+    """ADVICE r4: a builder that raises must NOT be consumed — the view
+    stays pending, the original error surfaces on every attempt, and a
+    fixed builder (here: flaky-once) succeeds on retry."""
+    from concept_hierarchy_formation_in_property_graphs_spark.sql_catalog import (
+        LazyCatalog,
+    )
+
+    cat = LazyCatalog(spark, SF_DIR, include=["kg_degrees"])
+    calls = {"n": 0}
+    real = cat._pending["kg_degrees"]
+
+    def flaky_once(s, sf):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient builder failure")
+        return real(s, sf)
+
+    cat._pending["kg_degrees"] = flaky_once
+    with pytest.raises(RuntimeError, match="transient builder failure"):
+        cat.sql("SELECT count(*) FROM kg_degrees")
+    assert "kg_degrees" in cat.pending and "kg_degrees" not in cat.built
+    # retry runs the builder again and succeeds
+    assert cat.sql("SELECT count(*) AS n FROM kg_degrees").collect()[0]["n"] > 0
+    assert "kg_degrees" in cat.built
