@@ -155,12 +155,21 @@ def main() -> None:
             "pages_per_sec": round(n_pages / pipeline_sec, 2),
             "triples_per_sec": round(n_triples / pipeline_sec, 2),
         },
-        "runs": {
-            "rounds": rounds,
-            "pipeline": pipeline_runs,
-            "queries": query_runs,
-        },
+        "rounds": rounds,
     }
+    # Per-run arrays live OFF stdout entirely: the driver records only a
+    # bounded tail of stdout, and round 4's runs-inclusive line outgrew
+    # it (BENCH_r04.json parsed:null — the round's perf record was
+    # lost). Medians-only keeps the authoritative line ~1 KB and stdout
+    # stays strictly ONE JSON line; the full run arrays go to a side
+    # file and a stderr comment line.
+    runs = {"rounds": rounds, "pipeline": pipeline_runs, "queries": query_runs}
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".artifacts", "bench_runs.json")
+    os.makedirs(os.path.dirname(side), exist_ok=True)
+    with open(side, "w") as f:
+        json.dump(runs, f)
+    print(f"# runs: {json.dumps(runs)}", file=sys.stderr)
     print(json.dumps(result))
 
 
