@@ -9,12 +9,24 @@ A re-run finds the committed snapshot (_SUCCESS) and skips the stage, so a
 mid-pipeline kill resumes from the latest complete stage with byte-identical
 final output (tests/test_pipeline.py::test_resume_after_partial_failure
 proves it).
+
+Stages may checkpoint BUCKETED (``bucket_key=``): the snapshot is written
+``bucketBy(N, key) + sortBy(key)`` as an EXTERNAL table whose location is
+the ordinary stage directory, so every downstream join/groupBy on that key
+is exchange-free by layout — the shuffle is paid once at checkpoint time,
+not per consumer (the 100 TB story for the kg_* joins and the pagerank
+loop over a checkpointed edge table). Resume is catalog-independent: the
+files outlive the session's in-memory catalog, and a fresh session
+re-registers the bucket spec with CREATE TABLE ... CLUSTERED BY ...
+LOCATION before reading, so the layout survives restarts too.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import time
 from collections.abc import Callable
 
@@ -55,19 +67,70 @@ class StageRunner:
                 out.append((fn, po.ORCFile(full).nrows))
         return out
 
-    def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
-        """Run (or resume) one stage; returns the materialized DataFrame."""
+    def _table_name(self, name: str) -> str:
+        """Catalog name for a bucketed stage — unique per workdir so two
+        concurrent runs never collide on a table name."""
+        tag = hashlib.md5(os.path.abspath(self.base_dir).encode()).hexdigest()[:10]
+        return f"chf_ck_{tag}_{name}".lower()
+
+    def _read_bucketed(self, name: str, path: str, bucket_key: str,
+                       n_buckets: int) -> DataFrame:
+        """Read a committed bucketed snapshot, re-registering the bucket
+        spec if this session's catalog has never seen it (resume after
+        restart — the files carry no bucket metadata, the catalog does)."""
+        tbl = self._table_name(name)
+        if not self.spark.catalog.tableExists(tbl):
+            schema = self.spark.read.format(self.fmt).load(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING {self.fmt} "
+                f"CLUSTERED BY (`{bucket_key}`) SORTED BY (`{bucket_key}`) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+        return self.spark.table(tbl)
+
+    def stage(self, name: str, build: Callable[[], DataFrame],
+              bucket_key: str | None = None, n_buckets: int = 8) -> DataFrame:
+        """Run (or resume) one stage; returns the materialized DataFrame.
+
+        ``bucket_key`` switches the snapshot to the bucketed layout:
+        downstream joins/groupBys on that key read it exchange-free."""
         path = self._path(name)
         t0 = time.time()
         if self.is_complete(name):
-            df = self.spark.read.format(self.fmt).load(path)
+            if bucket_key is not None:
+                df = self._read_bucketed(name, path, bucket_key, n_buckets)
+            else:
+                df = self.spark.read.format(self.fmt).load(path)
             self.metrics.append(
                 {"stage": name, "resumed": True, "seconds": round(time.time() - t0, 3)}
             )
             return df
         df = build()
-        df.write.mode("overwrite").format(self.fmt).save(path)
-        out = self.spark.read.format(self.fmt).load(path)
+        if bucket_key is not None:
+            tbl = self._table_name(name)
+            # external table: DROP forgets the spec but keeps files; the
+            # incomplete dir is ours to clear (same overwrite semantics
+            # as the flat path)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(path, ignore_errors=True)
+            (
+                # one output file per bucket — without the repartition a
+                # bucketed write emits up to tasks×buckets files
+                df.repartition(n_buckets, bucket_key)
+                .write.format(self.fmt)
+                .mode("overwrite")
+                .bucketBy(n_buckets, bucket_key)
+                .sortBy(bucket_key)
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
+            out = self.spark.table(tbl)
+        else:
+            df.write.mode("overwrite").format(self.fmt).save(path)
+            out = self.spark.read.format(self.fmt).load(path)
         # per-partition lineage counters from the parquet footers — pure
         # metadata reads on the driver, zero extra Spark jobs per stage
         # (works the same against HDFS/S3 via pyarrow filesystems; an
@@ -84,6 +147,9 @@ class StageRunner:
             "partitions": n_parts,
             "seconds": round(time.time() - t0, 3),
         }
+        if bucket_key is not None:
+            rec["bucketed_by"] = bucket_key
+            rec["n_buckets"] = n_buckets
         self.metrics.append(rec)
         with open(os.path.join(path, "_metrics.json"), "w") as f:
             json.dump(rec, f)

@@ -176,3 +176,76 @@ def test_iceberg_read_surfaces_real_error_without_fallback(spark):
     with pytest.raises(RuntimeError, match="Iceberg read") as ei:
         read_pages(spark, iceberg_table="db.pages")
     assert ei.value.__cause__ is not None  # the Spark loader error is chained
+
+
+def _assert_no_hash_exchange(spark, df):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_checkpoints_zero_exchange_and_flat_equivalence(
+        spark, pipeline_run):
+    """r4 carry-over task 5: the default pipeline checkpoints the graph
+    stages bucketBy(node id). (a) A downstream join of two checkpoints
+    on the bucket key plans with ZERO hash exchanges; (b) the flat
+    layout produces identical output (layout never changes semantics).
+
+    Earlier tests may rewrite fixture stage dirs (resume test), which
+    stales the fixture's DataFrame handles — so this test re-resumes the
+    fixture workdir for fresh handles instead of reusing them."""
+    import json as _json
+
+    wd, _ = pipeline_run
+    pages = pages_spark_df(spark, N_PAGES, n_entities=N_ENT)
+    out = run_pipeline(spark, pages, wd, n_entities=N_ENT)  # all resumed
+    # bucket specs were recorded at original build time, per stage dir
+    expected = {
+        "s4_nodes": "id", "s4_edges": "src",
+        "s5_struct_features": "id", "s5_char_sets": "id",
+        "s6_assignments": "instance_id",
+    }
+    for stage, key in expected.items():
+        with open(os.path.join(wd, stage, "_metrics.json")) as f:
+            rec = _json.load(f)
+        assert rec.get("bucketed_by") == key, (stage, rec)
+    # (a) features ⋈ intents on id — both bucketed by id — no exchange
+    j = out["struct_features"].join(out["intents"], "id")
+    _assert_no_hash_exchange(spark, j)
+    assert j.count() == out["intents"].count()
+    # (b) flat run in its own workdir: identical stage outputs
+    wd2 = tempfile.mkdtemp(prefix="chf_flat_")
+    try:
+        flat = run_pipeline(spark, pages, wd2, n_entities=N_ENT,
+                            bucketed=False)
+        assert not [m for m in flat["metrics"] if "bucketed_by" in m]
+        for k in ("triples", "concepts", "assignments"):
+            got = sorted(map(tuple, flat[k].collect()))
+            exp = sorted(map(tuple, out[k].collect()))
+            assert got == exp, f"{k} differs between layouts"
+    finally:
+        shutil.rmtree(wd2, ignore_errors=True)
+
+
+def test_bucketed_resume_survives_catalog_loss(spark, pipeline_run):
+    """Bucketed snapshots resume catalog-independently: drop every
+    checkpoint table (a fresh session's in-memory catalog), rerun on the
+    same workdir — every stage resumes from disk and the re-registered
+    bucket spec still yields exchange-free joins."""
+    wd, _ = pipeline_run
+    for t in spark.catalog.listTables():
+        if t.name.startswith("chf_ck_"):
+            spark.sql(f"DROP TABLE {t.name}")
+    pages = pages_spark_df(spark, N_PAGES, n_entities=N_ENT)
+    out2 = run_pipeline(spark, pages, wd, n_entities=N_ENT)
+    resumed = {m["stage"] for m in out2["metrics"] if m.get("resumed")}
+    assert {"s4_edges", "s5_struct_features", "s5_char_sets"} <= resumed
+    j = out2["struct_features"].join(out2["intents"], "id")
+    _assert_no_hash_exchange(spark, j)
+    # sanity: the re-registered table reads the committed snapshot
+    n_disk = spark.read.parquet(os.path.join(wd, "s5_char_sets")).count()
+    assert out2["intents"].count() == n_disk > 0
