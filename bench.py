@@ -94,6 +94,22 @@ def main() -> None:
     reg["q_deterministic_sample"](spark, sf_dir).count()
     reg["q1_pricing_summary"](spark, sf_dir).count()
 
+    # Host-capacity yardstick: a fixed pure-JVM job (range sum — no Python,
+    # no disk, no shuffle) timed before and after the benchmark. This VM
+    # shows episodic multi-10s capacity drops on identical code (BASELINE.md
+    # "same-day capacity spread"); the yardstick pair lets any window's
+    # numbers be adjudicated — if pre/post differ wildly or exceed the
+    # recorded clean-window value, the window was degraded, not the code.
+    def yardstick() -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(2_000_000_000).selectExpr("sum(id)").collect()
+            ts.append(time.time() - t0)
+        return round(statistics.median(ts), 3)
+
+    yard_pre = yardstick()
+
     # end-to-end pipeline: pages -> ... -> concept hierarchy (checkpointed,
     # the production shape incl. snapshot writes). Timed before the
     # query sweeps — see module docstring.
@@ -156,6 +172,7 @@ def main() -> None:
             "triples_per_sec": round(n_triples / pipeline_sec, 2),
         },
         "rounds": rounds,
+        "yardstick": {"pre": yard_pre, "post": yardstick()},
     }
     # Per-run arrays live OFF stdout entirely: the driver records only a
     # bounded tail of stdout, and round 4's runs-inclusive line outgrew
