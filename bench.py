@@ -93,6 +93,12 @@ def main() -> None:
     # (a long-lived cluster's first job is not the benchmark)
     reg["q_deterministic_sample"](spark, sf_dir).count()
     reg["q1_pricing_summary"](spark, sf_dir).count()
+    # ...including the Arrow/pandas worker pool: the first ArrowEvalPython
+    # stage of a session pays python-worker spawn + numpy import (~20 s at
+    # local[32] in the r5 record) — that is session setup, not query cost
+    spark.range(64).mapInPandas(
+        lambda it: it, "id long"
+    ).selectExpr("sum(id)").collect()
 
     # Host-capacity yardstick: a fixed pure-JVM job (range sum — no Python,
     # no disk, no shuffle) timed before and after the benchmark. This VM
