@@ -6,14 +6,21 @@ KG-construction pipeline on the synthetic pages corpus, and prints ONE
 JSON line:
 
     {"metric": "e2e_pipeline_sec", "value": N, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": ...,
+     "queries": {...per-query MEDIAN sec...}, "sf": ..., "cpus": C,
      "pipeline": {"pages": P, "triples": T, "triples_per_sec": R,
-                  "pages_per_sec": R2}, "cpus": C}
+                  "pages_per_sec": R2}, "rounds": K,
+     "yardstick": {"pre": Y1, "post": Y2}}
+
+The stdout line is medians-only (~1 KB) so a bounded tail capture always
+parses it; the per-run arrays live in .artifacts/bench_runs.json and a
+stderr comment line. "yardstick" is a fixed pure-JVM range-sum timed
+before and after the sweeps — a clean window reads ~0.3 s on this VM;
+a large or drifting pair flags the window as degraded.
 
 Methodology (round-3 hardening — the round-2 numbers were single-shot and
 order-sensitive, which hid a regression):
   * every measurement is the MEDIAN of $SPARK_GRAFT_BENCH_ROUNDS (default
-    3) runs; the per-run values are reported under "runs" for variance
+    3) runs; the per-run values go to the side file for variance
     inspection;
   * the end-to-end pipeline is timed FIRST, before the memory-heavy
     similarity/dedup queries, so the headline metric never inherits GC
@@ -122,6 +129,9 @@ def main() -> None:
     from concept_hierarchy_formation_in_property_graphs_spark.fixtures.pages import (
         pages_spark_df,
     )
+    from concept_hierarchy_formation_in_property_graphs_spark.plans.checkpoint import (
+        drop_checkpoint_tables,
+    )
     from concept_hierarchy_formation_in_property_graphs_spark.plans.pipeline import (
         run_pipeline,
     )
@@ -139,6 +149,7 @@ def main() -> None:
         n_triples = out["triples"].count()
         out["concepts"].count()
         pipeline_runs.append(round(time.time() - t0, 3))
+        drop_checkpoint_tables(spark, wd)  # before rmtree: no dangling entries
         shutil.rmtree(wd, ignore_errors=True)
         print(f"# pipeline run: {pipeline_runs[-1]}s", file=sys.stderr)
     pages.unpersist()

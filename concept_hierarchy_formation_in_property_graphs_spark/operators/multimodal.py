@@ -295,6 +295,14 @@ def decode_jpeg(data: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # a legal baseline variant (one scan per component) whose
+                # blocks are NOT in interleaved-MCU order — decoding it
+                # with the interleaved walk below would return a silently
+                # block-permuted plane, so refuse and take the stub path
+                raise NotImplementedError(
+                    "non-interleaved JPEG scan (ns != frame components)"
+                )
             scan = []
             for c in range(ns):
                 cs, tda = seg[1 + 2 * c:3 + 2 * c]

@@ -73,11 +73,36 @@ class StageRunner:
         tag = hashlib.md5(os.path.abspath(self.base_dir).encode()).hexdigest()[:10]
         return f"chf_ck_{tag}_{name}".lower()
 
+    def _committed_layout(self, path: str) -> dict | None:
+        """The layout RECORDED at write time (stage ``_metrics.json``), or
+        None if the metrics file is missing (killed in the narrow window
+        between the snapshot's _SUCCESS and the metrics write)."""
+        try:
+            with open(os.path.join(path, "_metrics.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
     def _read_bucketed(self, name: str, path: str, bucket_key: str,
                        n_buckets: int) -> DataFrame:
         """Read a committed bucketed snapshot, re-registering the bucket
         spec if this session's catalog has never seen it (resume after
-        restart — the files carry no bucket metadata, the catalog does)."""
+        restart — the files carry no bucket metadata, the catalog does).
+
+        The spec registered is the one RECORDED at write time, never the
+        caller's current arguments: a resume with a different
+        ``n_buckets`` (or over a flat-era snapshot) must not declare a
+        layout the committed files don't have — Spark would trust the
+        catalog, elide exchanges, and silently mis-join (wrong-spec case)
+        or crash on flat part-file names (flat case)."""
+        rec = self._committed_layout(path)
+        if rec is not None:
+            if rec.get("bucketed_by") is None:
+                # committed FLAT (bucketed=False era): read it flat even
+                # though the caller now asks for the bucketed layout
+                return self.spark.read.format(self.fmt).load(path)
+            bucket_key = rec["bucketed_by"]
+            n_buckets = rec["n_buckets"]
         tbl = self._table_name(name)
         if not self.spark.catalog.tableExists(tbl):
             schema = self.spark.read.format(self.fmt).load(path).schema
@@ -160,3 +185,19 @@ class StageRunner:
         with open(p, "w") as f:
             json.dump(self.metrics, f, indent=2)
         return p
+
+
+def drop_checkpoint_tables(spark: SparkSession, base_dir: str) -> int:
+    """Drop every ``chf_ck_<tag>_*`` catalog entry this workdir's bucketed
+    stages registered (EXTERNAL tables — files are untouched). Call before
+    deleting a workdir inside a live session; otherwise the entries dangle
+    at a removed location and any later catalog enumeration that reads
+    them fails. Returns the number of tables dropped."""
+    tag = hashlib.md5(os.path.abspath(base_dir).encode()).hexdigest()[:10]
+    prefix = f"chf_ck_{tag}_"
+    n = 0
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and not t.isTemporary:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            n += 1
+    return n

@@ -447,6 +447,27 @@ def test_progressive_jpeg_falls_back_to_stub():
     assert decode_asset(jpg, "image") == _decode_stub(jpg, "image")
 
 
+def test_non_interleaved_jpeg_scan_falls_back_to_stub():
+    """A baseline JPEG whose scan covers only SOME frame components
+    (ns != ncomp — the legal one-scan-per-component variant) is NOT in
+    interleaved-MCU order; decoding it with the interleaved walk would
+    return a silently block-permuted plane, so decode_jpeg must refuse
+    and decode_asset must take the stub path."""
+    from concept_hierarchy_formation_in_property_graphs_spark.operators.multimodal import (
+        _decode_stub,
+        decode_asset,
+        decode_jpeg,
+    )
+
+    sof = bytes([0xFF, 0xC0, 0x00, 0x11, 8, 0, 8, 0, 8, 3,
+                 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = bytes([0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0])
+    jpg = b"\xff\xd8" + sof + sos
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(jpg)
+    assert decode_asset(jpg, "image") == _decode_stub(jpg, "image")
+
+
 def test_real_jpeg_through_decode_assets(spark):
     """A real baseline JPEG rides the SAME mapInPandas operator as the
     stub payloads and reports its true geometry."""

@@ -249,3 +249,77 @@ def test_bucketed_resume_survives_catalog_loss(spark, pipeline_run):
     # sanity: the re-registered table reads the committed snapshot
     n_disk = spark.read.parquet(os.path.join(wd, "s5_char_sets")).count()
     assert out2["intents"].count() == n_disk > 0
+
+
+def test_resume_uses_recorded_layout_not_caller_args(spark, pipeline_run):
+    """The bucket spec registered on resume is the one RECORDED at write
+    time: resuming with a different n_buckets must not declare a layout
+    the committed files don't have (Spark would trust the catalog, elide
+    exchanges, and silently mis-join), and resuming a FLAT-era workdir
+    under the bucketed default must read it flat, not crash on part-file
+    names that carry no bucket id."""
+    import json as _json
+
+    wd, _ = pipeline_run  # written with the default n_buckets=16
+    for t in spark.catalog.listTables():  # fresh-session catalog
+        if t.name.startswith("chf_ck_"):
+            spark.sql(f"DROP TABLE {t.name}")
+    pages = pages_spark_df(spark, N_PAGES, n_entities=N_ENT)
+    out = run_pipeline(spark, pages, wd, n_entities=N_ENT, n_buckets=4)
+    assert all(m.get("resumed") for m in out["metrics"])
+    with open(os.path.join(wd, "s4_edges", "_metrics.json")) as f:
+        recorded = _json.load(f)["n_buckets"]
+    edges_tbl = next(
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("chf_ck_") and t.name.endswith("_s4_edges")
+    )
+    ddl = spark.sql(f"SHOW CREATE TABLE {edges_tbl}").collect()[0][0]
+    assert f"INTO {recorded} BUCKETS" in ddl, ddl  # recorded wins, not 4
+    # joins on the recorded layout stay exchange-free and correct
+    j = out["struct_features"].join(out["intents"], "id")
+    _assert_no_hash_exchange(spark, j)
+    assert j.count() == out["intents"].count()
+
+    # flat-era workdir resumed under the bucketed default: reads flat
+    wd2 = tempfile.mkdtemp(prefix="chf_flatresume_")
+    try:
+        flat = run_pipeline(spark, pages, wd2, n_entities=N_ENT,
+                            bucketed=False)
+        n_exp = flat["assignments"].count()
+        out2 = run_pipeline(spark, pages, wd2, n_entities=N_ENT)  # bucketed
+        assert all(m.get("resumed") for m in out2["metrics"])
+        assert out2["assignments"].count() == n_exp > 0
+    finally:
+        shutil.rmtree(wd2, ignore_errors=True)
+
+
+def test_drop_checkpoint_tables_scoped_to_workdir(spark, pipeline_run):
+    """drop_checkpoint_tables removes exactly this workdir's chf_ck_*
+    catalog entries (so callers can rmtree a tempdir without leaving
+    dangling external tables) and never touches another workdir's."""
+    from concept_hierarchy_formation_in_property_graphs_spark.plans.checkpoint import (
+        drop_checkpoint_tables,
+    )
+
+    wd, _ = pipeline_run
+    pages = pages_spark_df(spark, N_PAGES, n_entities=N_ENT)
+    run_pipeline(spark, pages, wd, n_entities=N_ENT)  # ensure registered
+    wd2 = tempfile.mkdtemp(prefix="chf_drop_")
+    try:
+        run_pipeline(spark, pages, wd2, n_entities=N_ENT)
+        before = {t.name for t in spark.catalog.listTables()
+                  if t.name.startswith("chf_ck_")}
+        n = drop_checkpoint_tables(spark, wd2)
+        after = {t.name for t in spark.catalog.listTables()
+                 if t.name.startswith("chf_ck_")}
+        assert n == len(before) - len(after) > 0
+        removed = before - after
+        import hashlib as _hl
+        tag2 = _hl.md5(os.path.abspath(wd2).encode()).hexdigest()[:10]
+        assert all(name.startswith(f"chf_ck_{tag2}_") for name in removed)
+        # the OTHER workdir's tables survive and still resume cleanly
+        out = run_pipeline(spark, pages, wd, n_entities=N_ENT)
+        assert all(m.get("resumed") for m in out["metrics"])
+    finally:
+        drop_checkpoint_tables(spark, wd2)
+        shutil.rmtree(wd2, ignore_errors=True)

@@ -133,16 +133,12 @@ def test_heavy_hitters_non_string_and_nulls(spark):
 
 def test_heavy_hitters_single_scan_of_input(spark):
     """The MG pass emits per-partition row counts, so N comes from the
-    sketch output — building the result must launch no separate
-    items.count() job over the raw input (scan count: MG pass once,
-    recount once)."""
+    sketch output, not a separate items.count() — asserted via plan
+    shape: the final plan reads the raw source exactly once (the
+    recount), with candidates and N both read off the tiny checkpointed
+    MG output."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
-    sc = spark.sparkContext
-    tracker = sc.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    # jobs: localCheckpoint of the tiny MG output (scans items once),
-    # the broadcast of candidates + N, and the final collect (recount).
     hh = heavy_hitters(toks, "tok", k=100)
     # the MG output is checkpointed, so the final plan reads the raw
     # source exactly once (the recount); candidates and N both come off
